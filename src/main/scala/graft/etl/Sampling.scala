@@ -1,0 +1,57 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Sampling / splitting / rebalancing operators.
+  *
+  * The reference uses seeded pandas/sklearn sampling
+  * (`/root/reference/train_model.py:75-91`,
+  * `/root/reference/data/the_stack/create_stack_snippets.py:233-243`).
+  * Those RNG streams are not reproducible on a cluster, so per SURVEY.md
+  * §7.4.3 we define splits as pure functions of row identity
+  * (xxhash64 of id + seed) — deterministic at any parallelism.
+  */
+object Sampling {
+
+  /** Deterministic split bucket in [0,100): hash of the id columns + seed. */
+  def splitBucket(seed: Long, idCols: Column*): Column =
+    F.pmod(F.xxhash64(F.lit(seed) +: idCols: _*), F.lit(100))
+
+  /** A10: deterministic stratified-ish train/val split: `isVal` column. */
+  def withValSplit(df: DataFrame, valPct: Int, seed: Long, idCols: String*): DataFrame =
+    df.withColumn("is_val", splitBucket(seed, idCols.map(F.col): _*) < valPct)
+
+  /** A9: per-stratum deterministic fraction sample (keep rows whose hash
+    * bucket < frac*10000 within their stratum). */
+  def deterministicSampleBy(df: DataFrame, frac: Double, seed: Long, idCols: String*): DataFrame = {
+    val bucket = F.pmod(F.xxhash64(F.lit(seed) +: idCols.map(F.col): _*), F.lit(10000))
+    df.filter(bucket < (frac * 10000).toInt)
+  }
+
+  /** A8: majority-class rebalance. If top1/top2 count ratio > maxRatio,
+    * downsample the majority class by 1/ratio (deterministic hash sample).
+    * Ref behavior: `create_stack_snippets.py:233-243`. One small collect of
+    * per-class counts between the two jobs, same as the reference's barrier.
+    */
+  def rebalance(df: DataFrame, classCol: String, maxRatio: Double, seed: Long, idCols: String*): DataFrame = {
+    val counts = df.groupBy(classCol).count().orderBy(F.col("count").desc).limit(2).collect()
+    if (counts.length < 2) return df
+    val top = counts(0)
+    val ratio = top.getLong(1).toDouble / counts(1).getLong(1)
+    if (ratio <= maxRatio) df
+    else {
+      val frac = 1.0 / ratio
+      val bucket = F.pmod(F.xxhash64(F.lit(seed) +: idCols.map(F.col): _*), F.lit(10000))
+      df.filter(F.col(classCol) =!= top.get(0) || bucket < (frac * 10000).toInt)
+    }
+  }
+
+  /** O3 per-group head: first n rows per group by ordering. */
+  def groupHead(df: DataFrame, n: Int, groupCol: String, orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rn",
+        F.row_number().over(Window.partitionBy(groupCol).orderBy(F.col(orderCol))))
+      .filter(F.col("__rn") <= n)
+      .drop("__rn")
+  }
+}

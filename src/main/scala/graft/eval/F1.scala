@@ -1,0 +1,65 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Evaluation aggregations as distributed DataFrame plans.
+  *
+  * Macro-F1 semantics match sklearn `f1_score(average="macro")`
+  * (used at `/root/reference/train_model.py:136`,
+  * `/root/reference/analyze_model.py:22-23`): classes = union of labels seen
+  * in y_true and y_pred; per-class F1 = 2TP / (2TP + FP + FN), 0 when the
+  * denominator is 0 (zero_division=0); macro = unweighted mean over classes.
+  *
+  * One shuffle (groupBy class); the per-class table is tiny, so the final
+  * mean is a cheap second aggregation.
+  */
+object F1 {
+
+  /** Per-class TP/FP/FN/F1 table. The big table is shuffled exactly once
+    * (the confusion groupBy); everything downstream operates on the tiny
+    * (n_classes²)-row confusion matrix. */
+  def perClass(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val conf = confusion(df, labelCol, predCol).cache()
+    val a = F.col("actual"); val p = F.col("predicted")
+    val tp = conf.filter(a === p).groupBy(a.as("cls")).agg(F.sum("n").as("tp"))
+    val fp = conf.filter(a =!= p).groupBy(p.as("cls")).agg(F.sum("n").as("fp"))
+    val fn = conf.filter(a =!= p).groupBy(a.as("cls")).agg(F.sum("n").as("fn"))
+    val all = conf.select(a.as("cls")).union(conf.select(p.as("cls"))).distinct()
+    all
+      .join(tp, Seq("cls"), "left")
+      .join(fp, Seq("cls"), "left")
+      .join(fn, Seq("cls"), "left")
+      .na.fill(0L, Seq("tp", "fp", "fn"))
+      .withColumn("f1",
+        F.when(F.col("tp") * 2 + F.col("fp") + F.col("fn") === 0, F.lit(0.0))
+          .otherwise(F.col("tp") * 2.0 / (F.col("tp") * 2 + F.col("fp") + F.col("fn"))))
+  }
+
+  /** Macro-F1 over the (label, pred) columns. */
+  def macroF1(df: DataFrame, labelCol: String, predCol: String): Double = {
+    val row = perClass(df, labelCol, predCol).agg(F.avg("f1")).head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** Binary keep/drop F1 treating `positive` as the positive class — the
+    * north-rule gate (F1 >= 0.99 on keep decisions). */
+  def binaryF1(df: DataFrame, labelCol: String, predCol: String): Double = {
+    val l = F.col(labelCol)
+    val p = F.col(predCol)
+    val r = df.agg(
+      F.sum(F.when(l && p, 1L).otherwise(0L)).as("tp"),
+      F.sum(F.when(!l && p, 1L).otherwise(0L)).as("fp"),
+      F.sum(F.when(l && !p, 1L).otherwise(0L)).as("fn"),
+    ).head()
+    val tp = r.getLong(0); val fp = r.getLong(1); val fn = r.getLong(2)
+    if (2 * tp + fp + fn == 0) 0.0 else 2.0 * tp / (2.0 * tp + fp + fn)
+  }
+
+  /** A6: accuracy + confusion counts (actual, predicted, n). */
+  def confusion(df: DataFrame, labelCol: String, predCol: String): DataFrame =
+    df.groupBy(F.col(labelCol).as("actual"), F.col(predCol).as("predicted"))
+      .agg(F.count("*").as("n"))
+
+  def accuracy(df: DataFrame, labelCol: String, predCol: String): Double =
+    df.agg(F.avg((F.col(labelCol) === F.col(predCol)).cast("int"))).head().getDouble(0)
+}

@@ -1,0 +1,201 @@
+package graft.text
+
+import java.util.regex.{Matcher, Pattern}
+
+/** Sub-language scrubbing + PII/toxicity scrubbing.
+  *
+  * Semantics re-expressed from the reference's scrubbers (behavior, not
+  * code): `/root/reference/data/the_stack/create_stack_snippets.py:16-117`.
+  * Output must be byte-exact vs the reference (north rule), so every scanner
+  * here mirrors the reference's observable behavior including its error
+  * cases. PII scrub (G5) is graft-specific: precompiled regexes, applied in
+  * a fixed documented order so results are deterministic.
+  */
+object Scrub {
+
+  final class MalformedInputException(msg: String) extends RuntimeException(msg)
+
+  /** Quote-aware scan for the '>' ending a tag that opens at `start`
+    * (index just past "<tagname"). Returns -1 if the tag never closes.
+    * Ref behavior: `create_stack_snippets.py:16-30`.
+    */
+  private def findTagEnd(text: String, start: Int): Int = {
+    var quote: Char = 0
+    var i = start
+    val n = text.length
+    while (i < n) {
+      val ch = text.charAt(i)
+      if (quote != 0) {
+        if (ch == quote) quote = 0
+      } else {
+        if (ch == '"' || ch == '\'') quote = ch
+        else if (ch == '>') return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Remove the *contents* of `<tagName ...>...</tagName>` blocks, keeping
+    * both tags. Case-insensitive tag match; an open token immediately
+    * followed by an alphanumeric (e.g. `<scripted`) is not a match.
+    * Throws MalformedInputException on an unclosed open tag or a missing
+    * close tag — same contract as the reference
+    * (`create_stack_snippets.py:58-65`).
+    * Returns (scrubbedText, removedAny).
+    */
+  def stripRawTextTag(text: String, tagName: String, fileId: String = "unknown"): (String, Boolean) = {
+    val lower = text.toLowerCase
+    val openToken = "<" + tagName
+    val closeToken = "</" + tagName + ">"
+    val out = new java.lang.StringBuilder(text.length)
+    var i = 0
+    var removedAny = false
+    var done = false
+    while (!done) {
+      val idx = lower.indexOf(openToken, i)
+      if (idx == -1) {
+        out.append(text, i, text.length)
+        done = true
+      } else {
+        val after = idx + openToken.length
+        // Python: lower[after].isalnum() — Unicode alnum on the lowercased text
+        if (after < lower.length && PyText.isAlnum(lower.codePointAt(after))) {
+          i = after
+        } else {
+          out.append(text, i, idx)
+          val tagEnd = findTagEnd(text, after)
+          if (tagEnd == -1)
+            throw new MalformedInputException(s"Unclosed <$tagName> tag in file $fileId")
+          out.append(text, idx, tagEnd + 1)
+          val closeIdx = lower.indexOf(closeToken, tagEnd + 1)
+          if (closeIdx == -1)
+            throw new MalformedInputException(s"Missing </$tagName> tag in file $fileId")
+          out.append(text, closeIdx, closeIdx + closeToken.length)
+          i = closeIdx + closeToken.length
+          removedAny = true
+        }
+      }
+    }
+    (out.toString, removedAny)
+  }
+
+  private val fencePattern = Pattern.compile("(?s)```.*?```")
+
+  /** Count of occurrences of "```" (non-overlapping), Python `str.count`. */
+  def fenceCount(s: String): Int = {
+    var c = 0; var i = s.indexOf("```")
+    while (i >= 0) { c += 1; i = s.indexOf("```", i + 3) }
+    c
+  }
+
+  /** Remove the interior of ``` fences (keep the fences). Throws on an odd
+    * fence count. Ref behavior: `create_stack_snippets.py:82-99`.
+    */
+  def stripMarkdownFences(text: String, fileId: String = "unknown"): String = {
+    if (fenceCount(text) % 2 != 0)
+      throw new MalformedInputException(s"Uneven code fences in file $fileId")
+    val m: Matcher = fencePattern.matcher(text)
+    val sb = new java.lang.StringBuilder(text.length)
+    while (m.find()) {
+      val g = m.group(0)
+      val open = g.indexOf("```")
+      val close = g.lastIndexOf("```")
+      val repl =
+        if (open == -1 || close == -1 || close == open) g
+        else g.substring(0, open + 3) + g.substring(close)
+      m.appendReplacement(sb, Matcher.quoteReplacement(repl))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  private val htmlBlockPattern = Pattern.compile("(?is)<html\\b.*?>.*?</html>")
+
+  /** Delete whole `<html ...> ... </html>` blocks (SQL files).
+    * Ref behavior: `create_stack_snippets.py:101-104`.
+    */
+  def stripHtmlBlocks(text: String): String =
+    htmlBlockPattern.matcher(text).replaceAll("")
+
+  /** Full sub-language scrub dispatch, per source language.
+    * Ref behavior: `create_stack_snippets.py:74-117`.
+    */
+  def removeSubLanguage(text: String, language: String, fileId: String = "unknown"): String = {
+    if (text == null) return null
+    var s = text
+    language match {
+      case "Markdown" => s = stripMarkdownFences(s, fileId)
+      case "SQL"      => s = stripHtmlBlocks(s)
+      case "PHP" | "HTML" =>
+        s = stripRawTextTag(s, "script", fileId)._1
+        s = stripRawTextTag(s, "style", fileId)._1
+      case _ => ()
+    }
+    s
+  }
+
+  // --------------------------------------------------------------------
+  // G5: PII / toxicity scrub (graft-specific; BASELINE.json north_rule).
+  // Precompiled patterns; applied in declaration order. Each match is
+  // replaced by a fixed-token mask so output is deterministic and
+  // idempotent (masks contain no characters the patterns can re-match).
+  // --------------------------------------------------------------------
+
+  final case class PiiRule(name: String, pattern: Pattern, mask: String)
+
+  val piiRules: Seq[PiiRule] = Seq(
+    PiiRule("email",
+      Pattern.compile("""[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""),
+      "<EMAIL>"),
+    PiiRule("ssn",
+      Pattern.compile("""\b\d{3}-\d{2}-\d{4}\b"""),
+      "<SSN>"),
+    // credit_card must precede phone: a 16-digit grouped number would
+    // otherwise partially match the looser phone pattern first.
+    PiiRule("credit_card",
+      Pattern.compile("""\b(?:\d[ -]?){13,16}\d\b"""),
+      "<CC>"),
+    PiiRule("phone",
+      Pattern.compile("""(?<![\w.-])(?:\+\d{1,3}[ .-])?(?:\(\d{2,4}\)[ .-]?)?\d{3,4}(?:[ .-]\d{3,4}){1,2}(?![\w.-])"""),
+      "<PHONE>"),
+    PiiRule("ipv4",
+      Pattern.compile("""\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b"""),
+      "<IP>"),
+    PiiRule("long_digits",
+      Pattern.compile("""\b\d{9,}\b"""),
+      "<NUM>"),
+  )
+
+  /** Apply all PII rules in order. Deterministic, idempotent. */
+  def scrubPii(text: String): String = {
+    if (text == null) return null
+    var s = text
+    var i = 0
+    while (i < piiRules.length) {
+      val r = piiRules(i)
+      val m = r.pattern.matcher(s)
+      if (m.find()) {
+        val sb = new java.lang.StringBuilder(s.length)
+        do m.appendReplacement(sb, Matcher.quoteReplacement(r.mask)) while (m.find())
+        m.appendTail(sb)
+        s = sb.toString
+      }
+      i += 1
+    }
+    s
+  }
+
+  /** Count of PII hits per rule (for per-partition counters). */
+  def piiHitCounts(text: String): Array[Int] = {
+    val counts = new Array[Int](piiRules.length)
+    if (text == null) return counts
+    var i = 0
+    while (i < piiRules.length) {
+      val m = piiRules(i).pattern.matcher(text)
+      while (m.find()) counts(i) += 1
+      i += 1
+    }
+    counts
+  }
+}
