@@ -1,24 +1,109 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.langid.{CharLM, NGramLangId}
+import graft.pipeline.{Transcripts, TranscriptPipeline, Turn}
+
+/** Benchmark main. Prints ONE JSON line:
+  * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
+  *  "pipeline":{...scaling evidence...}}
+  *
+  * Two parts:
+  *  1. operator queries from SparkEntry on SPARK_GRAFT_SF_DIR (count() each)
+  *  2. the north-rule pipeline (filter+scrub turns/sec) measured at
+  *     local[N] and local[4N] on identical parquet input — the sandbox
+  *     substitute for an N- vs 4N-executor cluster (BASELINE.md). Reports
+  *     throughput at both plus scaling efficiency = (tps4N / tpsN) / 4.
+  */
 object Bench {
+
+  private def newSession(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
+
+    // ---- Part 1: operator queries at full parallelism ----
+    val spark = newSession(cpus)
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, sec) = time { fn(spark, sfDir).count() }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- Part 2: pipeline scaling N vs 4N on identical input ----
+    // Materialize a deterministic transcript table once (sf-proportional),
+    // with enough file splits to feed 4N cores.
+    val nConvs = math.max(2000L, (sf * 200000L).toLong) // ~10 turns/conv avg
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    val inputPath = s"$tmp/transcripts"
+    Transcripts.generate(spark, nConvs, seed = 42L, hotFactor = 50,
+        numPartitions = cpus * 8)
+      .write.mode("overwrite").parquet(inputPath)
+
+    // Train models once (training time reported separately, not part of
+    // the filter+scrub throughput metric).
+    import spark.implicits._
+    val labeledForTrain = Transcripts
+      .generate(spark, nConvs = 2000, seed = 7L, hotFactor = 1)
+      .map(t => (Transcripts.truthLang(7L, t.conv_id), t.text))
+      .toDF("lang_true", "text")
+    val (nmodel, trainNgramSec) = time { NGramLangId.train(spark, labeledForTrain, "lang_true", "text") }
+    val (lmodel, trainLmSec) = time { CharLM.train(spark, labeledForTrain, "lang_true", "text") }
+
+    val nTurns = spark.read.parquet(inputPath).count()
     spark.stop()
+
+    def pipelineRun(cores: Int): Double = {
+      val s = newSession(cores)
+      import s.implicits._
+      val nm = s.sparkContext.broadcast(nmodel)
+      val lm = s.sparkContext.broadcast(lmodel)
+      val turns = s.read.parquet(inputPath).as[Turn]
+      // warm: JIT + file listing (small slice)
+      TranscriptPipeline.run(s, turns.limit(5000), nm, lm)
+        .write.format("noop").mode("overwrite").save()
+      val (_, sec) = time {
+        TranscriptPipeline.run(s, turns, nm, lm)
+          .write.format("noop").mode("overwrite").save()
+      }
+      s.stop()
+      sec
+    }
+
+    val nSmall = math.max(1, cpus / 4)
+    val secSmall = pipelineRun(nSmall)
+    val sec4N = pipelineRun(cpus)
+    val tpsSmall = nTurns / secSmall
+    val tps4N = nTurns / sec4N
+    val eff = (tps4N / tpsSmall) / (cpus.toDouble / nSmall)
+
+    val totalQuerySec = queryTimes.map(_._2).sum
+    val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val pipeline =
+      f"""{"n_turns":$nTurns,"cores_n":$nSmall,"sec_n":$secSmall%.3f,"tps_n":$tpsSmall%.0f,""" +
+      f""""cores_4n":$cpus,"sec_4n":$sec4N%.3f,"tps_4n":$tps4N%.0f,""" +
+      f""""scaling_efficiency":$eff%.3f,"train_ngram_sec":$trainNgramSec%.3f,"train_lm_sec":$trainLmSec%.3f}"""
+    println(
+      f"""{"metric":"total","value":${totalQuerySec + sec4N}%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":$pipeline}""")
   }
 }

@@ -1,0 +1,156 @@
+package graft.langid
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, functions => F}
+
+/** Character n-gram Naive Bayes language identifier (fastText-langid
+  * style): byte/char n-grams feature-hashed into a fixed-width count
+  * vector; per-class log-probability argmax.
+  *
+  * The reference ships a linear substring model
+  * (`/root/reference/web/predict.js`); the north star asks for the n-gram
+  * variant at transcript scale. Both are broadcast linear models applied in
+  * a typed map — the Spark shape is identical (narrow, shuffle-free).
+  *
+  * Training is Spark-native: one distributed pass computes per-class
+  * hashed-n-gram counts (explode-free: each row emits its count map via a
+  * typed reduce), then the driver assembles smoothed log-probs.
+  */
+final case class NGramModel(
+    classes: Array[String],
+    numBuckets: Int,
+    nMin: Int,
+    nMax: Int,
+    logPrior: Array[Double],
+    // logProb(classIdx)(bucket) = log P(bucket | class), add-one smoothed
+    logProb: Array[Array[Double]],
+) extends Serializable {
+
+  def predictIdx(text: String): Int = {
+    val counts = NGramLangId.hashCounts(text, numBuckets, nMin, nMax)
+    var best = -1
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < classes.length) {
+      var s = logPrior(c)
+      val lp = logProb(c)
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        s += lp(e.getKey) * e.getValue
+      }
+      if (s > bestScore) { bestScore = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def predict(text: String): String = classes(predictIdx(text))
+
+  /** (label, normalized log-prob margin) — margin in [0,1]-ish used as a
+    * confidence proxy (softmax over class scores). */
+  def predictWithConf(text: String): (String, Double) = {
+    val counts = NGramLangId.hashCounts(text, numBuckets, nMin, nMax)
+    val scores = new Array[Double](classes.length)
+    var c = 0
+    while (c < classes.length) {
+      var s = logPrior(c)
+      val lp = logProb(c)
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); s += lp(e.getKey) * e.getValue }
+      scores(c) = s
+      c += 1
+    }
+    var best = 0; var i = 1
+    while (i < scores.length) { if (scores(i) > scores(best)) best = i; i += 1 }
+    // stable softmax on total n-gram-count-normalized scores
+    val n = math.max(1, NGramLangId.totalNgrams(text, nMin, nMax))
+    var sum = 0.0
+    i = 0
+    while (i < scores.length) { sum += math.exp((scores(i) - scores(best)) / n); i += 1 }
+    (classes(best), 1.0 / sum)
+  }
+}
+
+object NGramLangId {
+
+  /** 31-based rolling hash of the n-gram, mixed and bucketed. */
+  @inline private def bucketOf(h0: Long, numBuckets: Int): Int = {
+    val h = graft.dedup.Dedup.mix64(h0)
+    ((h & Long.MaxValue) % numBuckets).toInt
+  }
+
+  def totalNgrams(text: String, nMin: Int, nMax: Int): Int = {
+    if (text == null) return 0
+    var total = 0
+    var n = nMin
+    while (n <= nMax) { total += math.max(0, text.length - n + 1); n += 1 }
+    total
+  }
+
+  /** Hashed n-gram counts of the lowercased text (bucket -> count). */
+  def hashCounts(text0: String, numBuckets: Int, nMin: Int, nMax: Int): java.util.HashMap[Integer, Integer] = {
+    val out = new java.util.HashMap[Integer, Integer]()
+    if (text0 == null) return out
+    val text = text0.toLowerCase
+    var n = nMin
+    while (n <= nMax) {
+      var i = 0
+      while (i + n <= text.length) {
+        var h = n.toLong // distinguish n-gram orders
+        var j = i
+        while (j < i + n) { h = 31 * h + text.charAt(j); j += 1 }
+        val b = Integer.valueOf(bucketOf(h, numBuckets))
+        val prev = out.get(b)
+        out.put(b, if (prev == null) 1 else prev + 1)
+        i += 1
+      }
+      n += 1
+    }
+    out
+  }
+
+  /** Train on (label, text) rows. One wide-as-narrow aggregation: rows are
+    * mapped to (label, sparse counts), reduced per label via
+    * groupByKey.reduceGroups on dense vectors of numBuckets ints — the
+    * shuffle moves at most numClasses × numBuckets ints per partition
+    * (map-side combine), independent of row count.
+    */
+  def train(spark: SparkSession, df: DataFrame, labelCol: String, textCol: String,
+            numBuckets: Int = 1 << 14, nMin: Int = 2, nMax: Int = 3): NGramModel = {
+    import spark.implicits._
+    val pairs = df.select(F.col(labelCol).cast("string"), F.col(textCol).cast("string"))
+      .as[(String, String)]
+    val agg = pairs
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[String, (Array[Long], Long)]
+        it.foreach { case (label, text) =>
+          val (vec, _) = acc.getOrElseUpdate(label, (new Array[Long](numBuckets), 0L))
+          val counts = hashCounts(text, numBuckets, nMin, nMax)
+          val cit = counts.entrySet().iterator()
+          while (cit.hasNext) { val e = cit.next(); vec(e.getKey) += e.getValue.toLong }
+          val cur = acc(label)
+          acc(label) = (cur._1, cur._2 + 1)
+        }
+        acc.iterator.map { case (l, (v, n)) => (l, v, n) }
+      }
+      .groupByKey(_._1)
+      .reduceGroups { (a, b) =>
+        val v = a._2.clone()
+        var i = 0
+        while (i < v.length) { v(i) += b._2(i); i += 1 }
+        (a._1, v, a._3 + b._3)
+      }
+      .map(_._2)
+      .collect()
+      .sortBy(_._1)
+
+    val classes = agg.map(_._1)
+    val totalRows = agg.map(_._3).sum.toDouble
+    val logPrior = agg.map(a => math.log(a._3 / totalRows))
+    val logProb = agg.map { case (_, vec, _) =>
+      val total = vec.sum.toDouble + numBuckets // add-one smoothing
+      vec.map(c => math.log((c + 1) / total))
+    }
+    NGramModel(classes, numBuckets, nMin, nMax, logPrior, logProb)
+  }
+}

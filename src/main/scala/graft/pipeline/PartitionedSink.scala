@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+/** Partitioned output table with per-partition lineage manifests and
+  * counters, resumable by skipping committed partitions (north rule;
+  * generalizes the reference's content-fingerprint cache,
+  * `features.py:87-93` / `train_model.py:94-108`).
+  *
+  * Layout (Iceberg-shaped, parquet + sidecar manifests — no Iceberg jars
+  * in this sandbox):
+  *   outDir/data/part=N/ (parquet files)   committed data
+  *   outDir/_manifests/part-N.json         lineage manifest for partition N
+  *
+  * The partition of a row is pmod(xxhash64(conv_id), nParts) — a pure
+  * function of the conversation key, so a restart computes identical
+  * partition assignment and can skip any partition whose manifest exists.
+  * The manifest records an order-independent input fingerprint
+  * (count + bit_xor of xxhash64(conv_id, turn_idx, scrubbed-source
+  * text)), so `validateInput=true` can detect changed input and invalidate
+  * the skip (silent stale-cache reuse is the failure mode the reference's
+  * fingerprint guards against — SURVEY.md §7.4.6).
+  *
+  * Uses the Hadoop FileSystem API throughout, so the same code runs on
+  * HDFS / object stores on a real cluster.
+  */
+object PartitionedSink {
+
+  final case class PartManifest(
+      part: Int, nRows: Long, nKeep: Long, piiHits: Long, scrubErrors: Long,
+      fpCount: Long, fpSum: Long)
+
+  final case class WriteReport(written: Seq[PartManifest], skipped: Seq[Int])
+
+  def partCol(nParts: Int) =
+    F.pmod(F.xxhash64(F.col("conv_id")), F.lit(nParts)).cast("int")
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def committedParts(spark: SparkSession, outDir: String): Map[Int, PartManifest] = {
+    val f = fs(spark, outDir)
+    val mdir = new Path(s"$outDir/_manifests")
+    if (!f.exists(mdir)) return Map.empty
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    f.listStatus(mdir).iterator.flatMap { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith("part-") || !name.endsWith(".json")) None
+      else {
+        val in = f.open(st.getPath)
+        val node = try mapper.readTree(in) finally in.close()
+        Some(node.get("part").asInt() -> PartManifest(
+          node.get("part").asInt(), node.get("nRows").asLong(),
+          node.get("nKeep").asLong(), node.get("piiHits").asLong(),
+          node.get("scrubErrors").asLong(),
+          node.get("fpCount").asLong(), node.get("fpSum").asLong()))
+      }
+    }.toMap
+  }
+
+  private def writeManifest(spark: SparkSession, outDir: String, m: PartManifest): Unit = {
+    val f = fs(spark, outDir)
+    val json =
+      s"""{"part":${m.part},"nRows":${m.nRows},"nKeep":${m.nKeep},"piiHits":${m.piiHits},"scrubErrors":${m.scrubErrors},"fpCount":${m.fpCount},"fpSum":${m.fpSum}}"""
+    val tmp = new Path(s"$outDir/_manifests/.part-${m.part}.json.tmp")
+    val dst = new Path(s"$outDir/_manifests/part-${m.part}.json")
+    val out = f.create(tmp, true)
+    out.write(json.getBytes("UTF-8")); out.close()
+    f.rename(tmp, dst) // atomic commit of the manifest
+  }
+
+  /** Write the pipeline output partitioned by conv-hash, skipping
+    * partitions already committed (manifest present). Expects the
+    * TranscriptPipeline.decide schema (keep / pii_hits / scrub_error).
+    * Returns the manifests written plus the partitions skipped.
+    */
+  def write(spark: SparkSession, df: DataFrame, outDir: String, nParts: Int): WriteReport = {
+    val committed = committedParts(spark, outDir)
+    val withPart = df.withColumn("part", partCol(nParts))
+    val pending =
+      if (committed.isEmpty) withPart
+      else withPart.filter(!F.col("part").isin(committed.keys.toSeq: _*))
+
+    // One shot: shuffle once on part, write data files per partition dir.
+    pending
+      .repartition(F.col("part"))
+      .write.mode("append").partitionBy("part")
+      .parquet(s"$outDir/data")
+
+    // Counters + input fingerprint per written partition (re-read of the
+    // committed files — counts what actually landed, not what we meant to
+    // write). Written parts = everything not previously committed; an
+    // empty partition simply yields no manifest (recomputed next run,
+    // harmless) — avoids re-running the whole pipeline for a distinct().
+    val writtenParts = (0 until nParts).toSet -- committed.keys
+    val manifests =
+      if (writtenParts.isEmpty) Seq.empty[PartManifest]
+      else {
+        val landed = spark.read.parquet(s"$outDir/data")
+          .filter(F.col("part").isin(writtenParts.toSeq: _*))
+        landed.groupBy("part").agg(
+          F.count(F.lit(1)).as("nRows"),
+          F.sum(F.col("keep").cast("long")).as("nKeep"),
+          F.sum(F.col("pii_hits").cast("long")).as("piiHits"),
+          F.sum(F.col("scrub_error").cast("long")).as("scrubErrors"),
+          F.count(F.lit(1)).as("fpCount"),
+          F.expr("bit_xor(row_fp)").as("fpSum"),
+        ).collect().map { r =>
+          PartManifest(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5), r.getLong(6))
+        }.toSeq
+      }
+    manifests.foreach(writeManifest(spark, outDir, _))
+    WriteReport(manifests, committed.keys.toSeq.sorted)
+  }
+
+  /** Validate committed partitions against the current input: recompute
+    * the order-independent fingerprint per part and drop manifests that no
+    * longer match (their partitions will be recomputed on the next write).
+    * Returns the invalidated partition ids. */
+  def invalidateChanged(spark: SparkSession, input: DataFrame, outDir: String,
+                        nParts: Int): Seq[Int] = {
+    val committed = committedParts(spark, outDir)
+    if (committed.isEmpty) return Seq.empty
+    val current = input.withColumn("part", partCol(nParts))
+      .groupBy("part").agg(
+        F.count(F.lit(1)).as("fpCount"),
+        F.expr("bit_xor(xxhash64(conv_id, turn_idx, text))").as("fpSum"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val f = fs(spark, outDir)
+    val stale = committed.collect {
+      case (p, m) if current.get(p).forall { case (c, s) => c != m.fpCount || s != m.fpSum } => p
+    }.toSeq.sorted
+    stale.foreach { p =>
+      f.delete(new Path(s"$outDir/_manifests/part-$p.json"), false)
+      f.delete(new Path(s"$outDir/data/part=$p"), true)
+    }
+    stale
+  }
+}

@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+import graft.langid.{CharLMModel, NGramModel}
+import graft.quality.{Metrics, Rules}
+import graft.text.{Normalize, Scrub}
+
+/** One scored transcript turn (pipeline output row). */
+final case class ScoredTurn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    tool: String,
+    ts: java.sql.Timestamp,
+    scrubbed: String,
+    lang: String,
+    lang_conf: Double,
+    perplexity: Double,
+    total_chars: Int,
+    letter_ratio: Double,
+    punct_ratio: Double,
+    digit_ratio: Double,
+    line_count: Int,
+    junk: Boolean,
+    scrub_error: Boolean,
+    pii_hits: Int,
+    row_fp: Long,
+)
+
+/** Turn plus its input fingerprint xxhash64(conv_id, turn_idx, text) —
+  * computed as a Column before the typed map so the lineage manifests can
+  * detect changed input without a second input scan. */
+final case class TurnFp(
+    conv_id: String, turn_idx: Int, role: String, text: String,
+    tool: String, ts: java.sql.Timestamp, row_fp: Long)
+
+/** The north-rule pipeline: language-ID + quality-filter + PII scrub over
+  * multi-turn transcripts.
+  *
+  * Execution shape (designed for 10^12 turns / 1000 executors):
+  *  - stage 1 is a single narrow typed map: normalize → scrub (markup +
+  *    PII) → char-class metrics → n-gram langid → perplexity. No shuffle;
+  *    the models ride one broadcast each. An optional salted repartition
+  *    spreads hot conversations across tasks *before* the heavy map
+  *    (pmod(xxhash64(conv_id, turn_idx), parts)) so task runtime is
+  *    input-size-balanced, not conversation-balanced.
+  *  - stage 2 is the only keyed shuffle: a window over
+  *    (conv_id, turn_idx) computes cross-turn context (repeated-turn
+  *    detection). Per-conv work is O(turns), so skew cost is bounded by
+  *    the largest conversation, not by the hash bucket.
+  *  - the final keep decision is pure column arithmetic on stage-1/2
+  *    outputs.
+  *
+  * Scrub semantics: script/style interior removal (quote-aware scanner)
+  * is applied when well-formed; malformed markup falls back to the
+  * unscrubbed text with scrub_error=true (a 10^12-row job must not abort
+  * on one bad row — the error surfaces in per-partition counters instead,
+  * mirroring the reference's hard error contract observably).
+  */
+object TranscriptPipeline {
+
+  final val MaxPerplexity = 60.0
+  final val MinLangConf = 0.0 // confidence currently informational
+
+  /** Stage 1: narrow scoring map. */
+  def score(spark: SparkSession, turns: Dataset[Turn],
+            langModel: Broadcast[NGramModel], lm: Broadcast[CharLMModel],
+            saltParts: Int = 0): Dataset[ScoredTurn] = {
+    import spark.implicits._
+    val salted =
+      if (saltParts > 0)
+        turns.repartition(saltParts, F.pmod(F.xxhash64(F.col("conv_id"), F.col("turn_idx")), F.lit(saltParts)))
+      else turns
+    salted
+      .withColumn("row_fp", F.xxhash64(F.col("conv_id"), F.col("turn_idx"), F.col("text")))
+      .as[TurnFp]
+      .mapPartitions { it =>
+        val nm = langModel.value
+        val lmm = lm.value
+        it.map { t => scoreOne(Turn(t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts), nm, lmm, t.row_fp) }
+      }
+  }
+
+  /** Pure per-turn scoring — shared by the distributed path and the
+    * sequential in-test oracle, so parity tests exercise *distribution*
+    * (partitioning, broadcast, ordering), not a duplicated rule set. */
+  def scoreOne(t: Turn, nm: NGramModel, lmm: CharLMModel, rowFp: Long = 0L): ScoredTurn = {
+    val normalized = Normalize.newlines(t.text)
+    var scrubError = false
+    val deMarkup =
+      try {
+        val (s1, _) = Scrub.stripRawTextTag(normalized, "script", t.conv_id)
+        Scrub.stripRawTextTag(s1, "style", t.conv_id)._1
+      } catch {
+        case _: Scrub.MalformedInputException => scrubError = true; normalized
+      }
+    val piiHits = Scrub.piiHitCounts(deMarkup).sum
+    val scrubbed = if (piiHits > 0) Scrub.scrubPii(deMarkup) else deMarkup
+    val (lang, conf) = nm.predictWithConf(scrubbed)
+    val ppl = lmm.perplexity(scrubbed, lang)
+    val m = Metrics.of(scrubbed)
+    ScoredTurn(
+      conv_id = t.conv_id, turn_idx = t.turn_idx, role = t.role, tool = t.tool,
+      ts = t.ts, scrubbed = scrubbed, lang = lang, lang_conf = conf,
+      perplexity = ppl, total_chars = m.totalChars,
+      letter_ratio = m.letterRatio, punct_ratio = m.punctRatio,
+      digit_ratio = m.digitRatio, line_count = m.lineCount,
+      junk = Rules.isJunk(m), scrub_error = scrubError, pii_hits = piiHits,
+      row_fp = rowFp,
+    )
+  }
+
+  /** Stage 2 + decision: repeated-turn context under stable
+    * (conv_id, turn_idx) ordering, then the keep/drop column. */
+  def decide(scored: Dataset[ScoredTurn]): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    scored.toDF()
+      .withColumn("is_repeat",
+        F.coalesce(F.lag("scrubbed", 1).over(w) === F.col("scrubbed"), F.lit(false)))
+      .withColumn("keep",
+        !F.col("junk") && !F.col("is_repeat") && F.col("perplexity") <= MaxPerplexity)
+  }
+
+  /** Full pipeline: score + decide. */
+  def run(spark: SparkSession, turns: Dataset[Turn],
+          langModel: Broadcast[NGramModel], lm: Broadcast[CharLMModel],
+          saltParts: Int = 0): DataFrame =
+    decide(score(spark, turns, langModel, lm, saltParts))
+}

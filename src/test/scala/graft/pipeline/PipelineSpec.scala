@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkTestSession
+import graft.eval.F1
+import graft.langid.{CharLM, NGramLangId}
+
+/** North-rule gates (SURVEY.md §5.5): keep/drop F1 >= 0.99 vs a sequential
+  * oracle, byte-exact scrubbed text, parallelism-invariance, resumable
+  * partitioned sink.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val seed = 42L
+  private lazy val turns = Transcripts.generate(spark, nConvs = 200, seed = seed, hotFactor = 20).cache()
+
+  private lazy val models = {
+    // train on a *separate* generated corpus (different seed) so evaluation
+    // is not on training rows
+    val trainTurns = Transcripts.generate(spark, nConvs = 300, seed = 7L, hotFactor = 1)
+    val labeled = trainTurns
+      .withColumn("lang_true", F.udf((c: String) => Transcripts.truthLang(7L, c)).apply(F.col("conv_id")))
+    val nm = NGramLangId.train(spark, labeled.toDF(), "lang_true", "text")
+    val lm = CharLM.train(spark, labeled.toDF(), "lang_true", "text")
+    (spark.sparkContext.broadcast(nm), spark.sparkContext.broadcast(lm))
+  }
+
+  test("langid: n-gram NB recovers the generating language on clean turns") {
+    val (nm, _) = models
+    val seedLocal = seed // avoid capturing the (non-serializable) suite
+    val preds = turns
+      .filter(F.length(F.col("text")) > 60)
+      .mapPartitions { it =>
+        val m = nm.value
+        it.map(t => (Transcripts.truthLang(seedLocal, t.conv_id), m.predict(t.text)))
+      }
+      .toDF("lang_true", "lang_pred")
+    val acc = F1.accuracy(preds, "lang_true", "lang_pred")
+    assert(acc > 0.97, s"langid accuracy $acc")
+    val macroF1 = F1.macroF1(preds, "lang_true", "lang_pred")
+    assert(macroF1 > 0.95, s"langid macro-F1 $macroF1")
+  }
+
+  test("keep/drop F1 >= 0.99 and scrubbed text byte-exact vs sequential oracle") {
+    val (nm, lm) = models
+    val result = TranscriptPipeline.run(spark, turns, nm, lm, saltParts = 8)
+      .select("conv_id", "turn_idx", "scrubbed", "keep")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getBoolean(3)))
+      .toMap
+
+    // sequential oracle: same rules, single thread, explicit turn ordering
+    val nmV = nm.value; val lmV = lm.value
+    val oracle = turns.collect()
+      .groupBy(_.conv_id)
+      .iterator.flatMap { case (_, ts) =>
+        val sorted = ts.sortBy(_.turn_idx)
+        var prevScrubbed: String = null
+        sorted.map { t =>
+          val s = TranscriptPipeline.scoreOne(t, nmV, lmV)
+          val isRepeat = s.scrubbed == prevScrubbed
+          prevScrubbed = s.scrubbed
+          (t.conv_id, t.turn_idx) -> (s.scrubbed,
+            !s.junk && !isRepeat && s.perplexity <= TranscriptPipeline.MaxPerplexity)
+        }
+      }.toMap
+
+    assert(result.size == oracle.size)
+    var scrubMismatch = 0
+    var tp = 0L; var fp = 0L; var fn = 0L
+    oracle.foreach { case (k, (oScrub, oKeep)) =>
+      val (rScrub, rKeep) = result(k)
+      if (rScrub != oScrub) scrubMismatch += 1
+      if (oKeep && rKeep) tp += 1
+      else if (!oKeep && rKeep) fp += 1
+      else if (oKeep && !rKeep) fn += 1
+    }
+    assert(scrubMismatch == 0, s"$scrubMismatch scrubbed-text mismatches (must be byte-exact)")
+    val f1 = if (2 * tp + fp + fn == 0) 1.0 else 2.0 * tp / (2.0 * tp + fp + fn)
+    assert(f1 >= 0.99, s"keep/drop F1 $f1 < 0.99")
+    // both decisions must actually occur in the fixture
+    assert(oracle.values.exists(_._2) && oracle.values.exists(!_._2))
+  }
+
+  test("pipeline output is invariant to salting and parallelism") {
+    val (nm, lm) = models
+    def runWith(salt: Int) =
+      TranscriptPipeline.run(spark, turns, nm, lm, saltParts = salt)
+        .select("conv_id", "turn_idx", "keep", "scrubbed", "lang", "perplexity")
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getBoolean(2), r.getString(3),
+          r.getString(4), r.getDouble(5)))
+        .sortBy(t => (t._1, t._2))
+    assert(runWith(0).toSeq == runWith(16).toSeq)
+  }
+
+  test("partitioned sink: manifests, counters, resume-skip, invalidation") {
+    val (nm, lm) = models
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val nParts = 8
+    val small = Transcripts.generate(spark, nConvs = 40, seed = 11L, hotFactor = 2).cache()
+    val result = TranscriptPipeline.run(spark, small, nm, lm)
+
+    val r1 = PartitionedSink.write(spark, result, out, nParts)
+    assert(r1.skipped.isEmpty)
+    assert(r1.written.nonEmpty)
+    val totalRows = r1.written.map(_.nRows).sum
+    assert(totalRows == small.count())
+
+    // resume: second write skips all committed partitions, adds nothing
+    val r2 = PartitionedSink.write(spark, result, out, nParts)
+    assert(r2.written.isEmpty)
+    assert(r2.skipped.sorted == r1.written.map(_.part).sorted)
+    val landed = spark.read.parquet(s"$out/data")
+    assert(landed.count() == totalRows, "resume must not duplicate rows")
+
+    // counters match the data
+    val keepCount = landed.filter(F.col("keep")).count()
+    assert(r1.written.map(_.nKeep).sum == keepCount)
+
+    // unchanged input -> nothing invalidated
+    assert(PartitionedSink.invalidateChanged(spark, small.toDF(), out, nParts).isEmpty)
+
+    // changed input (one conv's text mutated) -> exactly its partition is
+    // invalidated and recomputed on the next write
+    val mutated = small.map(t =>
+      if (t.conv_id == "conv00000003") t.copy(text = t.text + " CHANGED") else t)
+    val stale = PartitionedSink.invalidateChanged(spark, mutated.toDF(), out, nParts)
+    assert(stale.nonEmpty)
+    val r3 = PartitionedSink.write(spark,
+      TranscriptPipeline.run(spark, mutated, nm, lm), out, nParts)
+    assert(r3.written.map(_.part).sorted == stale.sorted)
+    val finalRows = spark.read.parquet(s"$out/data").count()
+    assert(finalRows == totalRows, "recomputed partition must replace, not append")
+  }
+}
