@@ -53,7 +53,9 @@ object Bench {
     // ---- Part 2: pipeline scaling N vs 4N on identical input ----
     // Materialize a deterministic transcript table once (sf-proportional),
     // with enough file splits to feed 4N cores.
-    val nConvs = math.max(2000L, (sf * 200000L).toLong) // ~10 turns/conv avg
+    // sized so the 4N run takes tens of seconds (fixed overhead <5%);
+    // ~14 turns/conv avg incl. hot-conversation inflation
+    val nConvs = math.max(50000L, (sf * 1500000L).toLong)
     val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
     val inputPath = s"$tmp/transcripts"
     Transcripts.generate(spark, nConvs, seed = 42L, hotFactor = 50,
@@ -80,12 +82,15 @@ object Bench {
       val lm = s.sparkContext.broadcast(lmodel)
       val turns = s.read.parquet(inputPath).as[Turn]
       // warm: JIT + file listing (small slice)
-      TranscriptPipeline.run(s, turns.limit(5000), nm, lm)
+      TranscriptPipeline.run(s, turns.limit(20000), nm, lm)
         .write.format("noop").mode("overwrite").save()
-      val (_, sec) = time {
-        TranscriptPipeline.run(s, turns, nm, lm)
-          .write.format("noop").mode("overwrite").save()
-      }
+      // best of 2 full runs (absorbs stray GC / compilation pauses)
+      val sec = (1 to 2).map { _ =>
+        time {
+          TranscriptPipeline.run(s, turns, nm, lm)
+            .write.format("noop").mode("overwrite").save()
+        }._2
+      }.min
       s.stop()
       sec
     }

@@ -219,6 +219,81 @@ object SparkEntry {
       t(s, dir, "documents")
         .filter(md5Bucket(col("doc_id"), 100) < 30)
         .groupBy("lang").agg(count(lit(1)).as("n"))),
+
+    // X1 substring feature bits via the broadcast Aho-Corasick matcher
+    "q23_feature_bits" -> ((s, dir) => {
+      val toks = Array("the", "and", "data", "query", "spark")
+      val bc = s.sparkContext.broadcast(graft.text.TokenMatcher(toks))
+      val bitsUdf = udf((text: String) => bc.value.matchBits(text))
+      t(s, dir, "documents")
+        .withColumn("bits", bitsUdf(col("text")))
+        .select(col("doc_id") +: toks.zipWithIndex.map { case (tk, i) =>
+          col("bits").getItem(i).as(s"has_$tk")
+        }: _*)
+    }),
+
+    // P1+P3 linear scoring with the built-in tiny model (exact SQL oracle)
+    "q24_langid_tiny" -> ((s, dir) => {
+      val bc = s.sparkContext.broadcast(new graft.score.Scorer(graft.model.DefaultModels.tiny))
+      val predUdf = udf((text: String) => bc.value.predictLabel(text))
+      t(s, dir, "documents").select(col("doc_id"), predUdf(col("text")).as("pred"))
+    }),
+
+    // F9 label remap via a literal map expression
+    "q25_label_remap" -> ((s, dir) => {
+      val remap = typedlit(Map(
+        "en" -> "germanic", "de" -> "germanic",
+        "fr" -> "romance", "es" -> "romance", "zh" -> "sinitic"))
+      t(s, dir, "documents")
+        .withColumn("family", element_at(remap, col("lang")))
+        .groupBy("family").agg(count(lit(1)).as("n"))
+    }),
+
+    // S5/O3 skip-take (offset + limit under a total order)
+    "q26_offset_limit" -> ((s, dir) =>
+      t(s, dir, "events").orderBy("event_id").select("event_id", "event_type")
+        .offset(100).limit(50)),
+
+    // A5 per-class F1 table (deterministically corrupted predictions)
+    "q27_macro_f1" -> ((s, dir) => {
+      val preds = t(s, dir, "documents").select(
+        col("lang").as("label"),
+        when(md5Bucket(col("doc_id"), 10) === 0, lit("en")).otherwise(col("lang")).as("pred"))
+      graft.eval.F1.perClass(preds, "label", "pred")
+    }),
+
+    // windowed sessionization (lag + running sum), exact epoch outputs
+    "q28_sessionize" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionizeBatch(t(s, dir, "events"), gapMinutes = 30)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("start").cast("timestamp").cast("long").as("start_s"),
+          col("end").cast("timestamp").cast("long").as("end_s"))),
+
+    // G1-G4+F2 corpus ETL over documents-as-files (scrub+split+junk filter)
+    "q29_snippet_etl" -> ((s, dir) => {
+      import s.implicits._
+      val langs = Array("Markdown", "SQL", "Python", "HTML")
+      // word-soup documents have no punctuation and would all fail the
+      // PunctRatio>=0.01 junk rule; comma-join words so chunks are viable
+      val files = t(s, dir, "documents")
+        .select(col("doc_id"), regexp_replace(col("text"), " ", ", ").as("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          graft.etl.SourceFile(id.toString, langs((id % 4).toInt), text)
+        }
+      graft.etl.SnippetEtl.run(s, files, limit = 5, rebalance = false)
+        .groupBy("Language").agg(count(lit(1)).as("n_chunks"))
+    }),
+
+    // multimodal binary columns: synth -> decode stub -> typed metadata agg
+    "q30_mm_decode" -> ((s, dir) => {
+      val blobs = graft.mm.Multimodal.synth(s, 2000)
+      graft.mm.Multimodal.decodeAll(s, blobs).toDF()
+        .groupBy("modality").agg(count(lit(1)).as("n"),
+          sum(col("width").cast("long")).as("sum_w"),
+          sum(col("durationMs").cast("long")).as("sum_dur"),
+          sum(col("valid").cast("long")).as("n_valid"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -309,6 +384,72 @@ object SparkEntry {
       "q22_det_sample" ->
         s"""SELECT lang, count(*) AS n FROM documents
            |WHERE $md5bucket < 30 GROUP BY 1""".stripMargin,
+      "q23_feature_bits" ->
+        """SELECT doc_id, contains(text, 'the') AS has_the, contains(text, 'and') AS has_and,
+          | contains(text, 'data') AS has_data, contains(text, 'query') AS has_query,
+          | contains(text, 'spark') AS has_spark
+          |FROM documents""".stripMargin,
+      "q24_langid_tiny" -> tinyModelOracleSql,
+      "q25_label_remap" ->
+        """SELECT CASE lang WHEN 'en' THEN 'germanic' WHEN 'de' THEN 'germanic'
+          | WHEN 'fr' THEN 'romance' WHEN 'es' THEN 'romance'
+          | WHEN 'zh' THEN 'sinitic' END AS family, count(*) AS n
+          |FROM documents GROUP BY 1""".stripMargin,
+      "q26_offset_limit" ->
+        "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 50 OFFSET 100",
+      "q27_macro_f1" -> {
+        val bucket10 =
+          "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10)"
+        s"""WITH p AS (
+           |  SELECT lang AS label,
+           |    CASE WHEN $bucket10 = 0 THEN 'en' ELSE lang END AS pred
+           |  FROM documents),
+           |cl AS (SELECT DISTINCT label AS cls FROM p UNION SELECT DISTINCT pred FROM p),
+           |tpt AS (SELECT label AS cls, count(*) AS tp FROM p WHERE label = pred GROUP BY 1),
+           |fpt AS (SELECT pred AS cls, count(*) AS fp FROM p WHERE label <> pred GROUP BY 1),
+           |fnt AS (SELECT label AS cls, count(*) AS fn FROM p WHERE label <> pred GROUP BY 1)
+           |SELECT cl.cls, coalesce(tp, 0) AS tp, coalesce(fp, 0) AS fp, coalesce(fn, 0) AS fn,
+           | CASE WHEN coalesce(tp,0)*2 + coalesce(fp,0) + coalesce(fn,0) = 0 THEN 0.0
+           |  ELSE coalesce(tp,0) * 2.0 / (coalesce(tp,0)*2 + coalesce(fp,0) + coalesce(fn,0)) END AS f1
+           |FROM cl LEFT JOIN tpt USING (cls) LEFT JOIN fpt USING (cls) LEFT JOIN fnt USING (cls)""".stripMargin
+      },
+      "q28_sessionize" ->
+        """WITH g AS (
+          |  SELECT user_id, ts, event_id, value,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |      OR (epoch(ts) - epoch(lag(ts) OVER w)) * 1000 > 1800000
+          |    THEN 1 ELSE 0 END AS new_session
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |s AS (
+          |  SELECT user_id, ts, event_id,
+          |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS UNBOUNDED PRECEDING) AS session_id
+          |  FROM g)
+          |SELECT user_id, session_id, count(*) AS n_events,
+          |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+          |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
+          |FROM s GROUP BY 1, 2""".stripMargin,
     )
+  }
+
+  /** Exact ANSI-SQL restatement of the tiny linear scorer: same summation
+    * order (intercept + c0*b0 + c1*b1 + ...) so logits are bit-identical,
+    * argmax ties resolved first-class-wins like Scorer.argmax. */
+  private def tinyModelOracleSql: String = {
+    val m = graft.model.DefaultModels.tiny
+    def esc(s: String) = s.replace("'", "''")
+    val score = m.classes.indices.map { i =>
+      val terms = m.features.indices.map { j =>
+        s"${m.coef(i)(j)} * (CASE WHEN contains(text, '${esc(m.features(j))}') THEN 1.0 ELSE 0.0 END)"
+      }.mkString(" + ")
+      s"(${m.intercept(i)} + $terms) AS s$i"
+    }.mkString(", ")
+    s"""WITH sc AS (SELECT doc_id, $score FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN s0 >= s1 AND s0 >= s2 THEN '${m.classes(0)}'
+       |       WHEN s1 >= s2 THEN '${m.classes(1)}'
+       |       ELSE '${m.classes(2)}' END AS pred
+       |FROM sc""".stripMargin
   }
 }

@@ -19,10 +19,10 @@ final case class CharLMModel(
 
   @inline private def bucket(c: Char): Int = CharLM.bucket(c, v)
 
-  /** Perplexity of the text under the language's bigram model. */
-  def perplexity(text0: String, classIdx: Int): Double = {
-    if (text0 == null || text0.length < 2) return CharLM.EmptyPerplexity
-    val text = text0.toLowerCase
+  /** Perplexity of an ALREADY-LOWERCASED text under the language's bigram
+    * model (hot-path variant: the pipeline lowercases once per row). */
+  def perplexityLower(text: String, classIdx: Int): Double = {
+    if (text == null || text.length < 2) return CharLM.EmptyPerplexity
     val lp = logProb(classIdx)
     var sum = 0.0
     var prev = bucket(text.charAt(0))
@@ -35,6 +35,10 @@ final case class CharLMModel(
     }
     math.exp(-sum / (text.length - 1))
   }
+
+  def perplexity(text: String, classIdx: Int): Double =
+    if (text == null) CharLM.EmptyPerplexity
+    else perplexityLower(text.toLowerCase, classIdx)
 
   def perplexity(text: String, lang: String): Double = {
     val idx = classes.indexOf(lang)

@@ -25,56 +25,66 @@ final case class NGramModel(
     logProb: Array[Array[Double]],
 ) extends Serializable {
 
-  def predictIdx(text: String): Int = {
-    val counts = NGramLangId.hashCounts(text, numBuckets, nMin, nMax)
-    var best = -1
-    var bestScore = Double.NegativeInfinity
-    var c = 0
-    while (c < classes.length) {
-      var s = logPrior(c)
-      val lp = logProb(c)
-      val it = counts.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        s += lp(e.getKey) * e.getValue
+  /** Per-class log-scores of an ALREADY-LOWERCASED text. Allocation-free
+    * except the score array: n-gram occurrences are streamed straight into
+    * the per-class accumulators (score = prior + Σ_occurrence logProb) —
+    * no count map, which matters at 10^12 rows. */
+  def scoresLower(text: String): Array[Double] = {
+    val s = logPrior.clone()
+    if (text == null) return s
+    val nc = classes.length
+    var n = nMin
+    while (n <= nMax) {
+      var i = 0
+      val end = text.length - n
+      while (i <= end) {
+        var h = n.toLong
+        var j = i
+        while (j < i + n) { h = 31 * h + text.charAt(j); j += 1 }
+        val b = NGramLangId.bucketOf(h, numBuckets)
+        var c = 0
+        while (c < nc) { s(c) += logProb(c)(b); c += 1 }
+        i += 1
       }
-      if (s > bestScore) { bestScore = s; best = c }
-      c += 1
+      n += 1
     }
+    s
+  }
+
+  def predictIdx(text: String): Int = {
+    if (text == null) return 0
+    val scores = scoresLower(text.toLowerCase)
+    var best = 0; var i = 1
+    while (i < scores.length) { if (scores(i) > scores(best)) best = i; i += 1 }
     best
   }
 
   def predict(text: String): String = classes(predictIdx(text))
 
-  /** (label, normalized log-prob margin) — margin in [0,1]-ish used as a
-    * confidence proxy (softmax over class scores). */
-  def predictWithConf(text: String): (String, Double) = {
-    val counts = NGramLangId.hashCounts(text, numBuckets, nMin, nMax)
-    val scores = new Array[Double](classes.length)
-    var c = 0
-    while (c < classes.length) {
-      var s = logPrior(c)
-      val lp = logProb(c)
-      val it = counts.entrySet().iterator()
-      while (it.hasNext) { val e = it.next(); s += lp(e.getKey) * e.getValue }
-      scores(c) = s
-      c += 1
-    }
+  /** (bestIdx, confidence) for an already-lowercased text. Confidence is a
+    * softmax over length-normalized scores. */
+  def predictWithConfLower(text: String): (Int, Double) = {
+    val scores = scoresLower(text)
     var best = 0; var i = 1
     while (i < scores.length) { if (scores(i) > scores(best)) best = i; i += 1 }
-    // stable softmax on total n-gram-count-normalized scores
     val n = math.max(1, NGramLangId.totalNgrams(text, nMin, nMax))
     var sum = 0.0
     i = 0
     while (i < scores.length) { sum += math.exp((scores(i) - scores(best)) / n); i += 1 }
-    (classes(best), 1.0 / sum)
+    (best, 1.0 / sum)
+  }
+
+  /** (label, confidence) — see predictWithConfLower. */
+  def predictWithConf(text: String): (String, Double) = {
+    val (best, conf) = predictWithConfLower(if (text == null) "" else text.toLowerCase)
+    (classes(best), conf)
   }
 }
 
 object NGramLangId {
 
   /** 31-based rolling hash of the n-gram, mixed and bucketed. */
-  @inline private def bucketOf(h0: Long, numBuckets: Int): Int = {
+  @inline private[langid] def bucketOf(h0: Long, numBuckets: Int): Int = {
     val h = graft.dedup.Dedup.mix64(h0)
     ((h & Long.MaxValue) % numBuckets).toInt
   }

@@ -78,39 +78,50 @@ object TranscriptPipeline {
       .withColumn("row_fp", F.xxhash64(F.col("conv_id"), F.col("turn_idx"), F.col("text")))
       .as[TurnFp]
       .mapPartitions { it =>
-        val nm = langModel.value
-        val lmm = lm.value
-        it.map { t => scoreOne(Turn(t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts), nm, lmm, t.row_fp) }
+        val scorer = new TurnScorer(langModel.value, lm.value) // once per task
+        it.map { t => scorer.score(Turn(t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts), t.row_fp) }
       }
   }
 
   /** Pure per-turn scoring — shared by the distributed path and the
     * sequential in-test oracle, so parity tests exercise *distribution*
     * (partitioning, broadcast, ordering), not a duplicated rule set. */
-  def scoreOne(t: Turn, nm: NGramModel, lmm: CharLMModel, rowFp: Long = 0L): ScoredTurn = {
-    val normalized = Normalize.newlines(t.text)
-    var scrubError = false
-    val deMarkup =
-      try {
-        val (s1, _) = Scrub.stripRawTextTag(normalized, "script", t.conv_id)
-        Scrub.stripRawTextTag(s1, "style", t.conv_id)._1
-      } catch {
-        case _: Scrub.MalformedInputException => scrubError = true; normalized
-      }
-    val piiHits = Scrub.piiHitCounts(deMarkup).sum
-    val scrubbed = if (piiHits > 0) Scrub.scrubPii(deMarkup) else deMarkup
-    val (lang, conf) = nm.predictWithConf(scrubbed)
-    val ppl = lmm.perplexity(scrubbed, lang)
-    val m = Metrics.of(scrubbed)
-    ScoredTurn(
-      conv_id = t.conv_id, turn_idx = t.turn_idx, role = t.role, tool = t.tool,
-      ts = t.ts, scrubbed = scrubbed, lang = lang, lang_conf = conf,
-      perplexity = ppl, total_chars = m.totalChars,
-      letter_ratio = m.letterRatio, punct_ratio = m.punctRatio,
-      digit_ratio = m.digitRatio, line_count = m.lineCount,
-      junk = Rules.isJunk(m), scrub_error = scrubError, pii_hits = piiHits,
-      row_fp = rowFp,
-    )
+  def scoreOne(t: Turn, nm: NGramModel, lmm: CharLMModel, rowFp: Long = 0L): ScoredTurn =
+    new TurnScorer(nm, lmm).score(t, rowFp)
+
+  /** Per-task scoring context: precomputes the langid→LM class index map
+    * and lowercases each row exactly once. */
+  final class TurnScorer(nm: NGramModel, lmm: CharLMModel) extends Serializable {
+    private val lmIdx: Array[Int] = nm.classes.map(c => lmm.classes.indexOf(c))
+
+    def score(t: Turn, rowFp: Long): ScoredTurn = {
+      val normalized = Normalize.newlines(t.text)
+      var scrubError = false
+      val deMarkup =
+        if (normalized.indexOf('<') < 0) normalized // fast path: no markup
+        else try {
+          val (s1, _) = Scrub.stripRawTextTag(normalized, "script", t.conv_id)
+          Scrub.stripRawTextTag(s1, "style", t.conv_id)._1
+        } catch {
+          case _: Scrub.MalformedInputException => scrubError = true; normalized
+        }
+      val (scrubbed, piiHits) = Scrub.scrubPiiCounting(deMarkup)
+      val lower = scrubbed.toLowerCase
+      val (langIdx, conf) = nm.predictWithConfLower(lower)
+      val li = lmIdx(langIdx)
+      val ppl = if (li < 0) graft.langid.CharLM.EmptyPerplexity
+                else lmm.perplexityLower(lower, li)
+      val m = Metrics.of(scrubbed)
+      ScoredTurn(
+        conv_id = t.conv_id, turn_idx = t.turn_idx, role = t.role, tool = t.tool,
+        ts = t.ts, scrubbed = scrubbed, lang = nm.classes(langIdx), lang_conf = conf,
+        perplexity = ppl, total_chars = m.totalChars,
+        letter_ratio = m.letterRatio, punct_ratio = m.punctRatio,
+        digit_ratio = m.digitRatio, line_count = m.lineCount,
+        junk = Rules.isJunk(m), scrub_error = scrubError, pii_hits = piiHits,
+        row_fp = rowFp,
+      )
+    }
   }
 
   /** Stage 2 + decision: repeated-turn context under stable

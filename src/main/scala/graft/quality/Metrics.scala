@@ -38,14 +38,38 @@ object Metrics {
       i += Character.charCount(cp)
     }
     val punct = total - letters - digits - ws
-    val lines = PyText.splitLines(chunk)
+    // line counting with Python splitlines semantics, allocation-free
+    var lineCount = 0
     var nonEmpty = 0
     var li = 0
-    while (li < lines.length) { if (PyText.hasNonSpace(lines(li))) nonEmpty += 1; li += 1 }
+    var lineHasNonSpace = false
+    var inLine = false
+    val n = chunk.length
+    while (li < n) {
+      val c = chunk.charAt(li)
+      if (PyText.isPyLineBreak(c)) {
+        lineCount += 1
+        if (lineHasNonSpace) nonEmpty += 1
+        lineHasNonSpace = false
+        inLine = false
+        if (c == '\r' && li + 1 < n && chunk.charAt(li + 1) == '\n') li += 2 else li += 1
+      } else {
+        inLine = true
+        if (!lineHasNonSpace) {
+          val cp = chunk.codePointAt(li)
+          if (!PyText.isSpace(cp)) lineHasNonSpace = true
+          li += Character.charCount(cp)
+        } else li += 1
+      }
+    }
+    if (inLine) { // trailing line without terminator
+      lineCount += 1
+      if (lineHasNonSpace) nonEmpty += 1
+    }
     val t = total.toDouble
     ChunkMetrics(
       totalChars = total,
-      lineCount = lines.length,
+      lineCount = lineCount,
       nonEmptyLineCount = nonEmpty,
       letterRatio = letters / t,
       digitRatio = digits / t,

@@ -56,6 +56,8 @@ object PyText {
   }
 
   /** Line terminators recognized by Python `str.splitlines`. */
+  @inline def isPyLineBreak(c: Char): Boolean = isLineBreak(c)
+
   @inline private def isLineBreak(c: Char): Boolean = c match {
     case '\n' | '\r' | '\u000b' | '\u000c' | '\u001c' | '\u001d' |
         '\u001e' | '\u0085' | '\u2028' | '\u2029' => true

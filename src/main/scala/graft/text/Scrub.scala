@@ -142,48 +142,92 @@ object Scrub {
   // idempotent (masks contain no characters the patterns can re-match).
   // --------------------------------------------------------------------
 
-  final case class PiiRule(name: String, pattern: Pattern, mask: String)
+  /** gate: cheap precondition — the rule can only match if it holds
+    * (1 = needs '@', 2 = needs a digit). Skips the regex machinery for the
+    * (common) rows without PII-shaped characters. */
+  final case class PiiRule(name: String, pattern: Pattern, mask: String, gate: Int)
 
   val piiRules: Seq[PiiRule] = Seq(
     PiiRule("email",
       Pattern.compile("""[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""),
-      "<EMAIL>"),
+      "<EMAIL>", gate = 1),
     PiiRule("ssn",
       Pattern.compile("""\b\d{3}-\d{2}-\d{4}\b"""),
-      "<SSN>"),
+      "<SSN>", gate = 2),
     // credit_card must precede phone: a 16-digit grouped number would
     // otherwise partially match the looser phone pattern first.
     PiiRule("credit_card",
       Pattern.compile("""\b(?:\d[ -]?){13,16}\d\b"""),
-      "<CC>"),
+      "<CC>", gate = 2),
     PiiRule("phone",
       Pattern.compile("""(?<![\w.-])(?:\+\d{1,3}[ .-])?(?:\(\d{2,4}\)[ .-]?)?\d{3,4}(?:[ .-]\d{3,4}){1,2}(?![\w.-])"""),
-      "<PHONE>"),
+      "<PHONE>", gate = 2),
     PiiRule("ipv4",
       Pattern.compile("""\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b"""),
-      "<IP>"),
+      "<IP>", gate = 2),
     PiiRule("long_digits",
       Pattern.compile("""\b\d{9,}\b"""),
-      "<NUM>"),
+      "<NUM>", gate = 2),
   )
+
+
+  @inline private def gateHolds(gate: Int, hasAt: Boolean, hasDigit: Boolean): Boolean =
+    (gate == 1 && hasAt) || (gate == 2 && hasDigit) || gate == 0
+
+  @inline private def scanGates(s: String): (Boolean, Boolean) = {
+    var hasAt = false; var hasDigit = false
+    var i = 0
+    while (i < s.length && !(hasAt && hasDigit)) {
+      val c = s.charAt(i)
+      if (c == '@') hasAt = true
+      else if (c >= '0' && c <= '9') hasDigit = true
+      i += 1
+    }
+    (hasAt, hasDigit)
+  }
 
   /** Apply all PII rules in order. Deterministic, idempotent. */
   def scrubPii(text: String): String = {
     if (text == null) return null
     var s = text
+    val (hasAt, hasDigit) = scanGates(s)
     var i = 0
     while (i < piiRules.length) {
       val r = piiRules(i)
-      val m = r.pattern.matcher(s)
-      if (m.find()) {
+      if (gateHolds(r.gate, hasAt, hasDigit)) {
+        val m = r.pattern.matcher(s)
+        if (m.find()) {
+          val sb = new java.lang.StringBuilder(s.length)
+          do m.appendReplacement(sb, Matcher.quoteReplacement(r.mask)) while (m.find())
+          m.appendTail(sb)
+          s = sb.toString
+        }
+      }
+      i += 1
+    }
+    s
+  }
+
+  /** Fused scrub + count: one matcher pass per rule (hot path — avoids the
+    * separate count-then-replace double scan). Returns (scrubbed, hits). */
+  def scrubPiiCounting(text: String): (String, Int) = {
+    if (text == null) return (null, 0)
+    var s = text
+    var hits = 0
+    val (hasAt, hasDigit) = scanGates(s)
+    var i = 0
+    while (i < piiRules.length) {
+      val r = piiRules(i)
+      val m = if (gateHolds(r.gate, hasAt, hasDigit)) r.pattern.matcher(s) else null
+      if (m != null && m.find()) {
         val sb = new java.lang.StringBuilder(s.length)
-        do m.appendReplacement(sb, Matcher.quoteReplacement(r.mask)) while (m.find())
+        do { hits += 1; m.appendReplacement(sb, Matcher.quoteReplacement(r.mask)) } while (m.find())
         m.appendTail(sb)
         s = sb.toString
       }
       i += 1
     }
-    s
+    (s, hits)
   }
 
   /** Count of PII hits per rule (for per-partition counters). */

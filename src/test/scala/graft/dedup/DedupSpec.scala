@@ -1,0 +1,63 @@
+package graft.dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkTestSession
+
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def doc(i: Int, words: Seq[String]): (Long, String) = (i.toLong, words.mkString(" "))
+
+  private val base = (0 until 40).map(i =>
+    doc(i, (0 until 30).map(j => s"w${(Dedup.mix64(i * 1000L + j) & Long.MaxValue) % 100000}")))
+
+  test("minhash signature approximates jaccard") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val c = "completely different words entirely unrelated content goes right here now"
+    val sa = Dedup.minhashSignature(a, 3, 64)
+    val sb = Dedup.minhashSignature(b, 3, 64)
+    val sc = Dedup.minhashSignature(c, 3, 64)
+    def est(x: Array[Long], y: Array[Long]) =
+      x.zip(y).count { case (p, q) => p == q }.toDouble / x.length
+    val jAb = Dedup.jaccard(a, b, 3)
+    assert(math.abs(est(sa, sb) - jAb) < 0.25)
+    assert(est(sa, sc) < 0.15)
+    assert(Dedup.jaccard(a, a, 3) == 1.0)
+  }
+
+  test("minhash LSH finds planted near-duplicates without false positives") {
+    import spark.implicits._
+    // plant: doc i and i+1000 are near-identical (one word changed)
+    val dups = base.take(10).map { case (id, text) =>
+      (id + 1000, text.replaceFirst("w\\d+", "changed")) }
+    val df = (base ++ dups).toDF("id", "text")
+    val pairs = Dedup.minhashDupPairs(df, "text", "id", w = 3, k = 32,
+      bands = 16, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 10).map(i => (i.toLong, i + 1000L)).toSet
+    assert(expected.subsetOf(pairs), s"missing ${expected -- pairs}")
+    // no unrelated base pair should appear
+    assert(!pairs.exists { case (a, b) => a < 1000 && b < 1000 })
+  }
+
+  test("simhash: near-identical docs within small hamming distance") {
+    val a = (0 until 50).map(i => s"tok$i").mkString(" ")
+    val b = (0 until 50).map(i => if (i == 7) "other" else s"tok$i").mkString(" ")
+    val ha = java.lang.Long.bitCount(Dedup.simhash(a) ^ Dedup.simhash(b))
+    assert(ha <= 10, s"hamming $ha")
+    val c = (100 until 150).map(i => s"z$i").mkString(" ")
+    assert(java.lang.Long.bitCount(Dedup.simhash(a) ^ Dedup.simhash(c)) > 10)
+  }
+
+  test("exact dedup keeps exactly one row per fingerprint (min id)") {
+    import spark.implicits._
+    val df = (base ++ base.map { case (id, t) => (id + 500, t) }).toDF("id", "text")
+    val out = Dedup.exact(df, "text", "id")
+    assert(out.count() == base.size)
+    assert(out.agg(F.max("id")).head().getLong(0) < 500, "must keep the min-id copy")
+  }
+}
