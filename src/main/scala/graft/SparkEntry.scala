@@ -285,6 +285,38 @@ object SparkEntry {
         .groupBy("Language").agg(count(lit(1)).as("n_chunks"))
     }),
 
+    // A2 feature-occurrence rates via the native MultiContains expression
+    // (codegen'd single-pass matcher, SQL-oracle-checked)
+    "q31_feature_occurrence" -> ((s, dir) => {
+      val bits = graft.plans.GraftFunctions.multiContains(col("text"),
+        Seq("the", "data", "query"))
+      t(s, dir, "documents")
+        .withColumn("b", bits)
+        .groupBy("lang")
+        .agg(
+          sum(col("b").getItem(0).cast("long")).as("n_the"),
+          sum(col("b").getItem(1).cast("long")).as("n_data"),
+          sum(col("b").getItem(2).cast("long")).as("n_query"),
+          count(lit(1)).as("n_samples"))
+    }),
+
+    // G1 as a native Generator: split_snippets explodes files into chunks
+    "q32_split_generator" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.plans.GraftFunctions.splitSnippets(col("text"), 3))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))),
+
+    // X3/X4 structural predicates as Column expressions
+    "q33_structural" -> ((s, dir) => {
+      import graft.functions.StructuralPredicates._
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        hasDollarVarCol(col("text")).as("has_dollar"),
+        hasPythonFStringCol(col("text")).as("has_fstring"),
+        hasLineStartingWithCol(col("text"), "agg").as("line_agg"))
+    }),
+
     // multimodal binary columns: synth -> decode stub -> typed metadata agg
     "q30_mm_decode" -> ((s, dir) => {
       val blobs = graft.mm.Multimodal.synth(s, 2000)
@@ -413,6 +445,34 @@ object SparkEntry {
            |  ELSE coalesce(tp,0) * 2.0 / (coalesce(tp,0)*2 + coalesce(fp,0) + coalesce(fn,0)) END AS f1
            |FROM cl LEFT JOIN tpt USING (cls) LEFT JOIN fpt USING (cls) LEFT JOIN fnt USING (cls)""".stripMargin
       },
+      "q31_feature_occurrence" ->
+        """SELECT lang,
+          | sum(CASE WHEN contains(text, 'the') THEN 1 ELSE 0 END) AS n_the,
+          | sum(CASE WHEN contains(text, 'data') THEN 1 ELSE 0 END) AS n_data,
+          | sum(CASE WHEN contains(text, 'query') THEN 1 ELSE 0 END) AS n_query,
+          | count(*) AS n_samples
+          |FROM documents GROUP BY 1""".stripMargin,
+      "q32_split_generator" ->
+        // chunk count from the split semantics: full chunks close at every
+        // limit-th non-blank line; a trailing partial (last line of these
+        // docs is non-blank, no trailing blank lines) exists iff E%3>0;
+        // the splitter then merges the last chunk into the previous one.
+        """WITH e AS (
+          |  SELECT doc_id,
+          |    len(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')) AS ne
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CASE WHEN (ne // 3 + CASE WHEN ne % 3 > 0 THEN 1 ELSE 0 END) >= 2
+          |       THEN (ne // 3 + CASE WHEN ne % 3 > 0 THEN 1 ELSE 0 END) - 1
+          |       ELSE 1 END AS n_chunks
+          |FROM e""".stripMargin,
+      "q33_structural" ->
+        """SELECT doc_id,
+          | regexp_matches(text, '\$[A-Za-z_]') AS has_dollar,
+          | regexp_matches(text, '(^|[^A-Za-z0-9_])f[''"]') AS has_fstring,
+          | (len(list_filter(string_split(text, chr(10)),
+          |    x -> starts_with(ltrim(x), 'agg'))) > 0) AS line_agg
+          |FROM documents""".stripMargin,
       "q28_sessionize" ->
         """WITH g AS (
           |  SELECT user_id, ts, event_id, value,

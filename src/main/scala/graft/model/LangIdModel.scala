@@ -76,6 +76,35 @@ final case class LangIdModel(
     LangIdModel.mapper.writeValueAsString(root)
   }
 
+  /** M7: symmetric int8 quantization (ex17, `experiments/experiments.md:478-501`):
+    * scale = max|coef| / 127 per model; returns (bytes, scale) where bytes
+    * is the row-major int8 coef matrix + int8 intercepts. Dequantized
+    * scoring error is bounded by scale/2 per active feature. */
+  def quantizeInt8: (Array[Byte], Double) = {
+    var maxAbs = 0.0
+    coef.foreach(_.foreach(v => if (math.abs(v) > maxAbs) maxAbs = math.abs(v)))
+    intercept.foreach(v => if (math.abs(v) > maxAbs) maxAbs = math.abs(v))
+    val scale = if (maxAbs == 0) 1.0 else maxAbs / 127.0
+    val out = new Array[Byte](numClasses * numFeatures + numClasses)
+    var k = 0
+    coef.foreach(_.foreach { v => out(k) = math.round(v / scale).toByte; k += 1 })
+    intercept.foreach { v => out(k) = math.round(v / scale).toByte; k += 1 }
+    (out, scale)
+  }
+
+  /** Reconstruct a model from int8-quantized bytes (lossy). */
+  def dequantizeInt8(bytes: Array[Byte], scale: Double): LangIdModel = {
+    val nc = numClasses; val nf = numFeatures
+    val co = Array.tabulate(nc, nf)((i, j) => bytes(i * nf + j) * scale)
+    val ic = Array.tabulate(nc)(i => bytes(nc * nf + i) * scale)
+    copy(coef = co, intercept = ic)
+  }
+
+  /** S7: persist the compact JSON (driver-side, like `tools.py:124-135`). */
+  def save(path: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      toCompactJson.getBytes("UTF-8"))
+
   /** M3: gzipped size of the compact JSON in KB (`tools.py:111-121`). */
   def gzippedSizeKb: Double = {
     val bytes = toCompactJson.getBytes("UTF-8")

@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Column + SQL surface for the custom Catalyst expressions, plus the
+  * SparkSessionExtensions entry point:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *   -- or --
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * After injection: SELECT multi_contains(text, 'def ', 'func '),
+  *                  SELECT ... FROM t LATERAL VIEW split_snippets(text, 10)
+  */
+object GraftFunctions {
+
+  import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+
+  /** Column API for MultiContains. */
+  def multiContains(text: Column, tokens: Seq[String]): Column =
+    ExpressionUtils.column(MultiContains(ExpressionUtils.expression(text), tokens))
+
+  /** Column API for the G1 generator. */
+  def splitSnippets(text: Column, limit: Int): Column =
+    ExpressionUtils.column(SplitSnippets(ExpressionUtils.expression(text), Literal(limit)))
+
+  private[plans] def multiContainsBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length >= 2, "multi_contains(text, token, ...)")
+    val tokens = exprs.tail.map {
+      case Literal(s: UTF8String, _) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"multi_contains tokens must be string literals, got $other")
+    }
+    MultiContains(exprs.head, tokens)
+  }
+
+  private[plans] def splitSnippetsBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "split_snippets(text, limit)")
+    SplitSnippets(exprs.head, exprs(1))
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("multi_contains"),
+      new ExpressionInfo(classOf[MultiContains].getName, "multi_contains"),
+      GraftFunctions.multiContainsBuilder))
+    e.injectFunction((
+      FunctionIdentifier("split_snippets"),
+      new ExpressionInfo(classOf[SplitSnippets].getName, "split_snippets"),
+      GraftFunctions.splitSnippetsBuilder))
+  }
+}
