@@ -19,15 +19,9 @@ import graft.pipeline.{Transcripts, TranscriptPipeline, Turn}
 object Bench {
 
   private def newSession(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
-      .getOrCreate()
+    // full engine config (AQE, skew handling, extensions) — GraftSession
+    // is the one documented place for the scale knobs
+    val s = GraftSession.local(cores, s"graft-bench-$cores")
     s.sparkContext.setLogLevel("ERROR")
     s
   }

@@ -30,6 +30,15 @@ final case class ScoredTurn(
     row_fp: Long,
 )
 
+/** Streaming-path output row (stateful repeat detection). */
+final case class DecidedTurn(
+    conv_id: String, turn_idx: Int, role: String, lang: String,
+    perplexity: Double, scrubbed: String, junk: Boolean,
+    is_repeat: Boolean, keep: Boolean, pii_hits: Int)
+
+/** Per-conversation streaming state: last scrubbed turn text. */
+final case class RepeatState(lastScrubbed: String)
+
 /** Turn plus its input fingerprint xxhash64(conv_id, turn_idx, text) —
   * computed as a Column before the typed map so the lineage manifests can
   * detect changed input without a second input scan. */
@@ -125,7 +134,10 @@ object TranscriptPipeline {
   }
 
   /** Stage 2 + decision: repeated-turn context under stable
-    * (conv_id, turn_idx) ordering, then the keep/drop column. */
+    * (conv_id, turn_idx) ordering, then the keep/drop column. The
+    * `observe` node (A12) publishes job-level counters (rows, keeps, PII
+    * hits, scrub errors) through QueryExecutionListener / StreamingQuery
+    * progress with zero extra passes. */
   def decide(scored: Dataset[ScoredTurn]): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("turn_idx")
     scored.toDF()
@@ -133,6 +145,41 @@ object TranscriptPipeline {
         F.coalesce(F.lag("scrubbed", 1).over(w) === F.col("scrubbed"), F.lit(false)))
       .withColumn("keep",
         !F.col("junk") && !F.col("is_repeat") && F.col("perplexity") <= MaxPerplexity)
+      .observe("graft_pipeline",
+        F.count(F.lit(1)).as("n_rows"),
+        F.sum(F.col("keep").cast("long")).as("n_keep"),
+        F.sum(F.col("pii_hits").cast("long")).as("pii_hits"),
+        F.sum(F.col("scrub_error").cast("long")).as("scrub_errors"))
+  }
+
+  /** Streaming variant: the stage-1 narrow map is stateless and applies
+    * to a streaming Dataset unchanged; repeat detection becomes
+    * per-conversation state (last scrubbed text) via
+    * flatMapGroupsWithState. Within a micro-batch, turns are processed in
+    * turn_idx order (stable (conv_id, turn_idx) ordering, north rule). */
+  def runStream(spark: SparkSession, turns: Dataset[Turn],
+                langModel: Broadcast[NGramModel], lm: Broadcast[CharLMModel]): Dataset[DecidedTurn] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val scored = score(spark, turns, langModel, lm)
+    scored
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[RepeatState, DecidedTurn](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows: Iterator[ScoredTurn],
+         state: org.apache.spark.sql.streaming.GroupState[RepeatState]) =>
+          val sorted = rows.toArray.sortBy(_.turn_idx)
+          var last = state.getOption.map(_.lastScrubbed).orNull
+          val out = sorted.map { s =>
+            val isRepeat = s.scrubbed == last
+            last = s.scrubbed
+            DecidedTurn(s.conv_id, s.turn_idx, s.role, s.lang, s.perplexity,
+              s.scrubbed, s.junk, isRepeat,
+              !s.junk && !isRepeat && s.perplexity <= MaxPerplexity, s.pii_hits)
+          }
+          if (sorted.nonEmpty) state.update(RepeatState(last))
+          out.iterator
+      }
   }
 
   /** Full pipeline: score + decide. */

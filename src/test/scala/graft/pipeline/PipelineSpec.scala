@@ -99,6 +99,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(runWith(0).toSeq == runWith(16).toSeq)
   }
 
+  test("observe metrics report pipeline counters in one pass") {
+    val (nm, lm) = models
+    val small = Transcripts.generate(spark, nConvs = 30, seed = 13L, hotFactor = 1)
+    val decided = TranscriptPipeline.run(spark, small, nm, lm)
+    @volatile var observed: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        qe.observedMetrics.get("graft_pipeline").foreach(r => observed = Some(r))
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val total = decided.count()
+      val keeps = decided.filter(org.apache.spark.sql.functions.col("keep")).count()
+      // listener delivery is async — poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (observed.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(observed.isDefined, "observe metrics not delivered")
+      val r = observed.get
+      assert(r.getAs[Long]("n_rows") == total)
+      assert(r.getAs[Long]("n_keep") == keeps)
+      assert(r.getAs[Long]("pii_hits") >= 0)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("streaming pipeline matches batch keep/scrub decisions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (nm, lm) = models
+    val small = Transcripts.generate(spark, nConvs = 25, seed = 17L, hotFactor = 1)
+      .collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Turn]
+    val q = TranscriptPipeline.runStream(spark, stream.toDS(), nm, lm)
+      .writeStream.format("memory").queryName("pipe_stream")
+      .outputMode("append").start()
+    try {
+      // two micro-batches split mid-conversation: state must carry over
+      val (b1, b2) = small.partition(t => t.turn_idx < 3)
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+      val streamed = spark.table("pipe_stream")
+        .select("conv_id", "turn_idx", "keep", "scrubbed").collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> (r.getBoolean(2), r.getString(3))).toMap
+      import spark.implicits._
+      val batch = TranscriptPipeline.run(spark, small.toDS(), nm, lm)
+        .select("conv_id", "turn_idx", "keep", "scrubbed").collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> (r.getBoolean(2), r.getString(3))).toMap
+      assert(streamed.size == batch.size)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("partitioned sink: manifests, counters, resume-skip, invalidation") {
     val (nm, lm) = models
     val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
