@@ -52,16 +52,18 @@ object Bench {
     val nConvs = math.max(50000L, (sf * 1500000L).toLong)
     val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
     val inputPath = s"$tmp/transcripts"
+    // north-star class count: 97 languages
+    val nLangs = 97
     Transcripts.generate(spark, nConvs, seed = 42L, hotFactor = 50,
-        numPartitions = cpus * 8)
+        numPartitions = cpus * 8, nLangs = nLangs)
       .write.mode("overwrite").parquet(inputPath)
 
     // Train models once (training time reported separately, not part of
     // the filter+scrub throughput metric).
     import spark.implicits._
     val labeledForTrain = Transcripts
-      .generate(spark, nConvs = 2000, seed = 7L, hotFactor = 1)
-      .map(t => (Transcripts.truthLang(7L, t.conv_id), t.text))
+      .generate(spark, nConvs = 8000, seed = 7L, hotFactor = 1, nLangs = nLangs)
+      .map(t => (Transcripts.truthLang(7L, t.conv_id, nLangs), t.text))
       .toDF("lang_true", "text")
     val (nmodel, trainNgramSec) = time { NGramLangId.train(spark, labeledForTrain, "lang_true", "text") }
     val (lmodel, trainLmSec) = time { CharLM.train(spark, labeledForTrain, "lang_true", "text") }

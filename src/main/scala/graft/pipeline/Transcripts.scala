@@ -55,6 +55,42 @@ object Transcripts {
       "había"),
   )
 
+  /** Synthetic word pool for language index >= 4 (north-star scale: 97
+    * languages). Each synthetic language draws syllables from its own
+    * hash-chosen consonant/vowel subsets, so pools are mutually distinct
+    * with overwhelming probability and a char-n-gram model can separate
+    * them — deterministic, no external data. */
+  def synthPool(langIdx: Int): Array[String] = {
+    val consonants = "bcdfghjklmnpqrstvwxz"
+    val vowels = "aeiouy"
+    val h0 = graft.dedup.Dedup.mix64(0xabcdef1234L + langIdx)
+    // language-specific alphabet bias: 8 consonants + 3 vowels
+    val cs = Array.tabulate(8)(i =>
+      consonants(((graft.dedup.Dedup.mix64(h0 + i) & Long.MaxValue) % consonants.length).toInt))
+    val vs = Array.tabulate(3)(i =>
+      vowels(((graft.dedup.Dedup.mix64(h0 - i - 1) & Long.MaxValue) % vowels.length).toInt))
+    Array.tabulate(32) { w =>
+      val hw = graft.dedup.Dedup.mix64(h0 ^ (w * 0x9e3779b97f4a7c15L))
+      val nSyl = 2 + ((hw & Long.MaxValue) % 3).toInt
+      val sb = new StringBuilder
+      var s = 0
+      while (s < nSyl) {
+        val hs = graft.dedup.Dedup.mix64(hw + s)
+        sb.append(cs(((hs & Long.MaxValue) % cs.length).toInt))
+        sb.append(vs((((hs >>> 8) & Long.MaxValue) % vs.length).toInt))
+        if ((hs & 4) == 0) sb.append(cs((((hs >>> 16) & Long.MaxValue) % cs.length).toInt))
+        s += 1
+      }
+      sb.toString
+    }
+  }
+
+  def langName(langIdx: Int): String =
+    if (langIdx < Langs.length) Langs(langIdx) else f"syn$langIdx%02d"
+
+  def poolOf(langIdx: Int): Array[String] =
+    if (langIdx < Langs.length) WordPools(Langs(langIdx)) else synthPool(langIdx)
+
   val CodeSnippets: Array[String] = Array(
     "def process(data):\n    return [x * 2 for x in data]\n",
     "func main() {\n\tfmt.Println(\"ok\")\n}\n",
@@ -78,16 +114,19 @@ object Transcripts {
     if (conv % 100 == 0) base * hotFactor else base
   }
 
+  /** Language index of a conversation (stable across its turns). */
+  def langIdxOf(seed: Long, conv: Long, nLangs: Int): Int =
+    ((rng(seed, conv, 0, 2) & Long.MaxValue) % nLangs).toInt
+
   /** Language of a conversation (stable across its turns). */
-  def langOf(seed: Long, conv: Long): String =
-    pick(Langs, rng(seed, conv, 0, 2))
+  def langOf(seed: Long, conv: Long, nLangs: Int = Langs.length): String =
+    langName(langIdxOf(seed, conv, nLangs))
 
   /** The text of one turn: word soup in the conv's language plus seeded
     * special content. Rates: ~6% PII, ~5% code, ~4% scrub-target markup,
     * ~5% junk. */
-  def textOf(seed: Long, conv: Long, turn: Int): String = {
-    val lang = langOf(seed, conv)
-    val pool = WordPools(lang)
+  def textOf(seed: Long, conv: Long, turn: Int, nLangs: Int = Langs.length): String = {
+    val pool = poolOf(langIdxOf(seed, conv, nLangs))
     val r0 = rng(seed, conv, turn.toLong, 3)
     val nWords = 8 + ((r0 & Long.MaxValue) % 60).toInt
     val sb = new java.lang.StringBuilder(nWords * 7)
@@ -133,13 +172,13 @@ object Transcripts {
     if (turn % 2 == 0) "user" else if (turn % 7 == 3) "tool" else "assistant"
 
   /** One fully-materialized turn. */
-  def turnAt(seed: Long, conv: Long, turn: Int): Turn = {
+  def turnAt(seed: Long, conv: Long, turn: Int, nLangs: Int = Langs.length): Turn = {
     val role = roleOf(turn)
     Turn(
       conv_id = f"conv$conv%08d",
       turn_idx = turn,
       role = role,
-      text = textOf(seed, conv, turn),
+      text = textOf(seed, conv, turn, nLangs),
       tool = if (role == "tool") pick(Tools, rng(seed, conv, turn.toLong, 5)) else null,
       ts = new Timestamp(1700000000000L + conv * 3600000L + turn * 30000L),
     )
@@ -149,18 +188,19 @@ object Transcripts {
     * flatMap over conv ids, then repartition to balance hot convs away
     * from single tasks. */
   def generate(spark: SparkSession, nConvs: Long, seed: Long = 42L,
-               hotFactor: Int = 50, numPartitions: Int = 0): Dataset[Turn] = {
+               hotFactor: Int = 50, numPartitions: Int = 0,
+               nLangs: Int = Langs.length): Dataset[Turn] = {
     import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism * 2
     spark.range(0, nConvs, 1, parts)
       .flatMap { conv =>
         val n = turnsOf(seed, conv, hotFactor)
-        (0 until n).iterator.map(t => turnAt(seed, conv, t))
+        (0 until n).iterator.map(t => turnAt(seed, conv, t, nLangs))
       }
   }
 
   /** Expected language label of a conv (generation truth, for eval). */
-  def truthLang(seed: Long, convId: String): String =
-    langOf(seed, convId.stripPrefix("conv").toLong)
+  def truthLang(seed: Long, convId: String, nLangs: Int = Langs.length): String =
+    langOf(seed, convId.stripPrefix("conv").toLong, nLangs)
 }

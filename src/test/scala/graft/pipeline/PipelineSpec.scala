@@ -99,6 +99,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(runWith(0).toSeq == runWith(16).toSeq)
   }
 
+  test("langid scales to 97 languages (north-star class count)") {
+    import org.apache.spark.sql.{functions => FF}
+    val nLangs = 97
+    val trainTurns = Transcripts.generate(spark, nConvs = 3000, seed = 23L,
+      hotFactor = 1, nLangs = nLangs)
+    val labeled = trainTurns.toDF()
+      .withColumn("lang_true",
+        FF.udf((c: String) => Transcripts.truthLang(23L, c, nLangs)).apply(FF.col("conv_id")))
+    val nm = NGramLangId.train(spark, labeled, "lang_true", "text")
+    assert(nm.classes.length == nLangs)
+    val bc = spark.sparkContext.broadcast(nm)
+    val evalTurns = Transcripts.generate(spark, nConvs = 400, seed = 29L,
+      hotFactor = 1, nLangs = nLangs)
+    val preds = evalTurns
+      .filter(FF.length(FF.col("text")) > 60)
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map(t => (Transcripts.truthLang(29L, t.conv_id, 97), m.predict(t.text)))
+      }
+      .toDF("lang_true", "lang_pred")
+    val acc = F1.accuracy(preds, "lang_true", "lang_pred")
+    assert(acc > 0.9, s"97-language accuracy $acc")
+  }
+
   test("observe metrics report pipeline counters in one pass") {
     val (nm, lm) = models
     val small = Transcripts.generate(spark, nConvs = 30, seed = 13L, hotFactor = 1)
