@@ -33,7 +33,11 @@ object SparkEntry {
     val text = col("text")
     val total = length(text).cast("double")
     val piiScrub = udf((s: String) => graft.text.Scrub.scrubPii(s))
+    val scorer = spark.sparkContext.broadcast(
+      new graft.score.Scorer(graft.model.DefaultModels.tiny))
+    val langPred = udf((s: String) => scorer.value.predictLabel(s))
     docs
+      .withColumn("lang_pred", langPred(text))
       .withColumn("n_tokens", tokenCount(text))
       .withColumn("letter_ratio", when(total === 0, 0.0).otherwise(letterCount(text) / total))
       .withColumn("digit_ratio", when(total === 0, 0.0).otherwise(digitCount(text) / total))
@@ -317,6 +321,36 @@ object SparkEntry {
         hasLineStartingWithCol(col("text"), "agg").as("line_agg"))
     }),
 
+    // exact n-gram (word 3-shingle) Jaccard between consecutive docs —
+    // the verification kernel of near-dup detection, oracle-checked
+    "q34_ngram_jaccard" -> ((s, dir) => {
+      def shingles(c: Column): Column = {
+        val words = split(lower(trim(c)), "\\s+")
+        when(size(words) >= 3,
+          transform(sequence(lit(0), size(words) - 3), i =>
+            concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2),
+              element_at(words, i + 3))))
+          .otherwise(array().cast("array<string>"))
+      }
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id").as("id_a"), shingles(col("text")).as("sa"))
+      val b = d.select((col("doc_id") - 1).as("id_a"), shingles(col("text")).as("sb"))
+      a.join(b, "id_a")
+        .select(col("id_a"),
+          when(size(array_union(col("sa"), col("sb"))) === 0, lit(1.0))
+            .otherwise(size(array_intersect(col("sa"), col("sb"))) /
+              size(array_union(col("sa"), col("sb")))).as("jaccard"))
+        .select(col("id_a"), round(col("jaccard"), 6).as("j6"))
+    }),
+
+    // A3/A4 global statistics (exact integer sums; mean as exact division)
+    "q35_global_stats" -> ((s, dir) =>
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n"),
+        sum(length(col("text"))).as("total_chars"),
+        (sum(length(col("text"))) / count(lit(1))).as("mean_len"),
+        sum(tokenCount(col("text"))).as("total_tokens"))),
+
     // multimodal binary columns: synth -> decode stub -> typed metadata agg
     "q30_mm_decode" -> ((s, dir) => {
       val blobs = graft.mm.Multimodal.synth(s, 2000)
@@ -473,6 +507,25 @@ object SparkEntry {
           | (len(list_filter(string_split(text, chr(10)),
           |    x -> starts_with(ltrim(x), 'agg'))) > 0) AS line_agg
           |FROM documents""".stripMargin,
+      "q34_ngram_jaccard" ->
+        """WITH sh AS (
+          |  SELECT doc_id,
+          |    (CASE WHEN len(ws) >= 3 THEN
+          |      list_transform(generate_series(1, len(ws) - 2),
+          |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+          |     ELSE [] END) AS s
+          |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          |        FROM documents))
+          |SELECT a.doc_id AS id_a,
+          |  round(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 1.0
+          |   ELSE len(list_intersect(list_distinct(a.s), list_distinct(b.s)))
+          |        / len(list_distinct(list_concat(a.s, b.s))) END, 6) AS j6
+          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+      "q35_global_stats" ->
+        s"""SELECT count(*) AS n, sum(length(text)) AS total_chars,
+           | sum(length(text)) / count(*) AS mean_len,
+           | sum($tokSql) AS total_tokens
+           |FROM documents""".stripMargin,
       "q28_sessionize" ->
         """WITH g AS (
           |  SELECT user_id, ts, event_id, value,

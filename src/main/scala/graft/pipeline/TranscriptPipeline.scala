@@ -54,7 +54,7 @@ final case class TurnFp(
   *    PII) → char-class metrics → n-gram langid → perplexity. No shuffle;
   *    the models ride one broadcast each. An optional salted repartition
   *    spreads hot conversations across tasks *before* the heavy map
-  *    (pmod(xxhash64(conv_id, turn_idx), parts)) so task runtime is
+  *    (repartition on xxhash64(conv_id, turn_idx)) so task runtime is
   *    input-size-balanced, not conversation-balanced.
   *  - stage 2 is the only keyed shuffle: a window over
   *    (conv_id, turn_idx) computes cross-turn context (repeated-turn
@@ -81,7 +81,10 @@ object TranscriptPipeline {
     import spark.implicits._
     val salted =
       if (saltParts > 0)
-        turns.repartition(saltParts, F.pmod(F.xxhash64(F.col("conv_id"), F.col("turn_idx")), F.lit(saltParts)))
+        // repartition on the raw 64-bit hash: Spark hash-partitions the
+        // expression VALUE, so pre-bucketing with pmod(n) would funnel the
+        // n distinct values through murmur3 again and collide unevenly
+        turns.repartition(saltParts, F.xxhash64(F.col("conv_id"), F.col("turn_idx")))
       else turns
     salted
       .withColumn("row_fp", F.xxhash64(F.col("conv_id"), F.col("turn_idx"), F.col("text")))
