@@ -82,6 +82,21 @@ class ScorerSpec extends AnyFunSuite {
     assert(json.contains("[[1.2],[2]]"), json) // 2.0 collapses to int
   }
 
+  test("int8 quantization: predictions survive the round trip (ex17 semantics)") {
+    val (bytes, scale) = model.quantizeInt8
+    assert(bytes.length == model.numClasses * model.numFeatures + model.numClasses)
+    val deq = model.dequantizeInt8(bytes, scale)
+    val s2 = new Scorer(deq)
+    val snippets = Seq("package main\nfunc x() {}", "<?php $a=1;", "def f(self): import os")
+    snippets.foreach { s =>
+      assert(s2.predictLabel(s) == scorer.predictLabel(s), s"label changed for: $s")
+    }
+    // max dequantization error bounded by scale/2
+    val maxErr = model.coef.flatten.toSeq.zip(deq.coef.flatten.toSeq)
+      .map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= scale / 2 + 1e-12)
+  }
+
   test("gzippedSizeKb is positive and small for tiny model") {
     val kb = model.gzippedSizeKb
     assert(kb > 0.0 && kb < 2.0)
