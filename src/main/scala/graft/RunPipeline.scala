@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.langid.{CharLM, ModelIO, NGramLangId}
+import graft.pipeline.{PartitionedSink, Transcripts, TranscriptPipeline, Turn}
+
+/** Production entry point — the spark-submit job of the north rule:
+  *
+  *   spark-submit --class graft.RunPipeline <jar> \
+  *     --input <transcript parquet dir> --output <table dir> \
+  *     [--nparts 256] [--salt <parts>] [--models <dir>] \
+  *     [--train-convs 8000] [--nlangs 97] [--validate-input] [--local N]
+  *
+  * Behavior:
+  *  - models: loaded from --models if present, else trained on a
+  *    deterministic labeled corpus and saved there (C1 cache pattern)
+  *  - resume: partitions already committed in --output are skipped; with
+  *    --validate-input, committed partitions whose input fingerprint
+  *    changed are invalidated and recomputed first
+  *  - counters: per-partition manifests + an observe node; the job prints
+  *    one JSON status line at the end
+  *
+  * If --input is absent the job synthesizes the deterministic transcript
+  * table first (sandbox mode; on a real cluster --input is the Iceberg
+  * table location).
+  */
+object RunPipeline {
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          m(a.drop(2)) = args(i + 1); i += 2
+        } else { m(a.drop(2)) = "true"; i += 1 }
+      } else i += 1
+    }
+    m.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opt = parseArgs(args)
+    val output = opt.getOrElse("output",
+      java.nio.file.Files.createTempDirectory("graft_out").toString)
+    val nParts = opt.getOrElse("nparts", "64").toInt
+    val salt = opt.getOrElse("salt", "0").toInt
+    val nLangs = opt.getOrElse("nlangs", "97").toInt
+
+    val spark: SparkSession = opt.get("local") match {
+      case Some(n) => GraftSession.local(n.toInt, "graft-pipeline")
+      case None => // under spark-submit the master/conf come from submit args
+        GraftSession.builder(
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-pipeline")
+          .getOrCreate()
+    }
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- input ----
+    val inputPath = opt.get("input") match {
+      case Some(p) => p
+      case None =>
+        val p = s"$output/_synth_input"
+        Transcripts.generate(spark, opt.getOrElse("synth-convs", "20000").toLong,
+            seed = 42L, nLangs = nLangs)
+          .write.mode("overwrite").parquet(p)
+        p
+    }
+    val turns = spark.read.parquet(inputPath).as[Turn]
+
+    // ---- models (load-or-train-and-save) ----
+    val modelsDir = opt.getOrElse("models", s"$output/_models")
+    val ngramPath = s"$modelsDir/ngram.bin"
+    val lmPath = s"$modelsDir/charlm.bin"
+    val (nmodel, lmodel) =
+      if (ModelIO.exists(spark, ngramPath) && ModelIO.exists(spark, lmPath))
+        (ModelIO.loadNGram(spark, ngramPath), ModelIO.loadCharLM(spark, lmPath))
+      else {
+        val labeled = Transcripts
+          .generate(spark, opt.getOrElse("train-convs", "8000").toLong,
+            seed = 7L, hotFactor = 1, nLangs = nLangs)
+          .map(t => (Transcripts.truthLang(7L, t.conv_id, nLangs), t.text))
+          .toDF("lang_true", "text")
+        val nm = NGramLangId.train(spark, labeled, "lang_true", "text")
+        val lm = CharLM.train(spark, labeled, "lang_true", "text")
+        ModelIO.saveNGram(spark, nm, ngramPath)
+        ModelIO.saveCharLM(spark, lm, lmPath)
+        (nm, lm)
+      }
+
+    // ---- resume bookkeeping ----
+    val invalidated =
+      if (opt.contains("validate-input"))
+        PartitionedSink.invalidateChanged(spark, turns.toDF(), output, nParts)
+      else Seq.empty
+
+    // ---- the job ----
+    val nm = spark.sparkContext.broadcast(nmodel)
+    val lm = spark.sparkContext.broadcast(lmodel)
+    val result = TranscriptPipeline.run(spark, turns, nm, lm, saltParts = salt)
+    val report = PartitionedSink.write(spark, result, output, nParts)
+
+    val written = report.written
+    println(
+      s"""{"job":"graft-pipeline","output":"$output","parts_written":${written.length},""" +
+      s""""parts_skipped":${report.skipped.length},"parts_invalidated":${invalidated.length},""" +
+      s""""rows":${written.map(_.nRows).sum},"kept":${written.map(_.nKeep).sum},""" +
+      s""""pii_hits":${written.map(_.piiHits).sum},"scrub_errors":${written.map(_.scrubErrors).sum}}""")
+    spark.stop()
+  }
+}

@@ -134,6 +134,9 @@ object Transcripts {
     while (i < nWords) {
       if (i > 0) sb.append(if (i % 12 == 11) "\n" else " ")
       sb.append(pick(pool, rng(seed, conv, turn.toLong, 100 + i)))
+      // sentence punctuation: without it every turn fails the reference's
+      // PunctRatio >= 0.01 rule and the keep rate collapses to ~10%
+      if (i % 9 == 8) sb.append('.') else if (i % 13 == 12) sb.append(',')
       i += 1
     }
     val special = (rng(seed, conv, turn.toLong, 4) & Long.MaxValue) % 100
