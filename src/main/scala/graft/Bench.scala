@@ -39,6 +39,12 @@ object Bench {
 
     // ---- Part 1: operator queries at full parallelism ----
     val spark = newSession(cpus)
+    // warm the JVM + page cache so the first timed query doesn't absorb
+    // JIT/codegen/scan-init cost that belongs to no particular operator
+    Seq("documents", "lineitem", "events", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").count()
+    }
+    spark.range(1000000).selectExpr("sum(id * 2)").count()
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, sec) = time { fn(spark, sfDir).count() }
       name -> sec

