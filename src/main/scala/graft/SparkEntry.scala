@@ -343,6 +343,22 @@ object SparkEntry {
         .select(col("id_a"), round(col("jaccard"), 6).as("j6"))
     }),
 
+    // temporal range predicate (pushed to the parquet scan)
+    "q36_date_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= TIMESTAMP_NTZ '1995-01-01 00:00:00'") &&
+          expr("l_shipdate < TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"))),
+
+    // semi-structured column: JSON field extraction + aggregation
+    "q37_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))),
+
     // A3/A4 global statistics (exact integer sums; mean as exact division)
     "q35_global_stats" -> ((s, dir) =>
       t(s, dir, "documents").agg(
@@ -521,6 +537,16 @@ object SparkEntry {
           |   ELSE len(list_intersect(list_distinct(a.s), list_distinct(b.s)))
           |        / len(list_distinct(list_concat(a.s, b.s))) END, 6) AS j6
           |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+      "q36_date_filter" ->
+        """SELECT l_returnflag, count(*) AS n,
+          | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+          |GROUP BY 1""".stripMargin,
+      "q37_json_extract" ->
+        """SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+          | count(*) AS n
+          |FROM events GROUP BY 1""".stripMargin,
       "q35_global_stats" ->
         s"""SELECT count(*) AS n, sum(length(text)) AS total_chars,
            | sum(length(text)) / count(*) AS mean_len,
