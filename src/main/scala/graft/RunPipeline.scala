@@ -108,7 +108,8 @@ object RunPipeline {
       s"""{"job":"graft-pipeline","output":"$output","parts_written":${written.length},""" +
       s""""parts_skipped":${report.skipped.length},"parts_invalidated":${invalidated.length},""" +
       s""""rows":${written.map(_.nRows).sum},"kept":${written.map(_.nKeep).sum},""" +
-      s""""pii_hits":${written.map(_.piiHits).sum},"scrub_errors":${written.map(_.scrubErrors).sum}}""")
+      s""""pii_hits":${written.map(_.piiHits).sum},"tox_hits":${written.map(_.toxHits).sum},""" +
+      s""""scrub_errors":${written.map(_.scrubErrors).sum}}""")
     spark.stop()
   }
 }

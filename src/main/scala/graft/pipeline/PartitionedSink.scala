@@ -28,8 +28,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 object PartitionedSink {
 
   final case class PartManifest(
-      part: Int, nRows: Long, nKeep: Long, piiHits: Long, scrubErrors: Long,
-      fpCount: Long, fpSum: Long)
+      part: Int, nRows: Long, nKeep: Long, piiHits: Long, toxHits: Long,
+      scrubErrors: Long, fpCount: Long, fpSum: Long)
 
   final case class WriteReport(written: Seq[PartManifest], skipped: Seq[Int])
 
@@ -53,7 +53,7 @@ object PartitionedSink {
         Some(node.get("part").asInt() -> PartManifest(
           node.get("part").asInt(), node.get("nRows").asLong(),
           node.get("nKeep").asLong(), node.get("piiHits").asLong(),
-          node.get("scrubErrors").asLong(),
+          node.get("toxHits").asLong(), node.get("scrubErrors").asLong(),
           node.get("fpCount").asLong(), node.get("fpSum").asLong()))
       }
     }.toMap
@@ -62,7 +62,7 @@ object PartitionedSink {
   private def writeManifest(spark: SparkSession, outDir: String, m: PartManifest): Unit = {
     val f = fs(spark, outDir)
     val json =
-      s"""{"part":${m.part},"nRows":${m.nRows},"nKeep":${m.nKeep},"piiHits":${m.piiHits},"scrubErrors":${m.scrubErrors},"fpCount":${m.fpCount},"fpSum":${m.fpSum}}"""
+      s"""{"part":${m.part},"nRows":${m.nRows},"nKeep":${m.nKeep},"piiHits":${m.piiHits},"toxHits":${m.toxHits},"scrubErrors":${m.scrubErrors},"fpCount":${m.fpCount},"fpSum":${m.fpSum}}"""
     val tmp = new Path(s"$outDir/_manifests/.part-${m.part}.json.tmp")
     val dst = new Path(s"$outDir/_manifests/part-${m.part}.json")
     val out = f.create(tmp, true)
@@ -103,12 +103,13 @@ object PartitionedSink {
           F.count(F.lit(1)).as("nRows"),
           F.sum(F.col("keep").cast("long")).as("nKeep"),
           F.sum(F.col("pii_hits").cast("long")).as("piiHits"),
+          F.sum(F.col("tox_hits").cast("long")).as("toxHits"),
           F.sum(F.col("scrub_error").cast("long")).as("scrubErrors"),
           F.count(F.lit(1)).as("fpCount"),
           F.expr("bit_xor(row_fp)").as("fpSum"),
         ).collect().map { r =>
           PartManifest(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
-            r.getLong(4), r.getLong(5), r.getLong(6))
+            r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
         }.toSeq
       }
     manifests.foreach(writeManifest(spark, outDir, _))

@@ -27,6 +27,7 @@ final case class ScoredTurn(
     junk: Boolean,
     scrub_error: Boolean,
     pii_hits: Int,
+    tox_hits: Int,
     row_fp: Long,
 )
 
@@ -34,7 +35,7 @@ final case class ScoredTurn(
 final case class DecidedTurn(
     conv_id: String, turn_idx: Int, role: String, lang: String,
     perplexity: Double, scrubbed: String, junk: Boolean,
-    is_repeat: Boolean, keep: Boolean, pii_hits: Int)
+    is_repeat: Boolean, keep: Boolean, pii_hits: Int, tox_hits: Int)
 
 /** Per-conversation streaming state: last scrubbed turn text. */
 final case class RepeatState(lastScrubbed: String)
@@ -103,7 +104,8 @@ object TranscriptPipeline {
 
   /** Per-task scoring context: precomputes the langid→LM class index map
     * and lowercases each row exactly once. */
-  final class TurnScorer(nm: NGramModel, lmm: CharLMModel) extends Serializable {
+  final class TurnScorer(nm: NGramModel, lmm: CharLMModel,
+      deny: Scrub.DenyList = Scrub.defaultDenyList) extends Serializable {
     private val lmIdx: Array[Int] = nm.classes.map(c => lmm.classes.indexOf(c))
 
     def score(t: Turn, rowFp: Long): ScoredTurn = {
@@ -117,7 +119,8 @@ object TranscriptPipeline {
         } catch {
           case _: Scrub.MalformedInputException => scrubError = true; normalized
         }
-      val (scrubbed, piiHits) = Scrub.scrubPiiCounting(deMarkup)
+      val (dePii, piiHits) = Scrub.scrubPiiCounting(deMarkup)
+      val (scrubbed, toxHits) = Scrub.scrubDenyList(dePii, deny)
       val lower = scrubbed.toLowerCase
       val (langIdx, conf) = nm.predictWithConfLower(lower)
       val li = lmIdx(langIdx)
@@ -131,7 +134,7 @@ object TranscriptPipeline {
         letter_ratio = m.letterRatio, punct_ratio = m.punctRatio,
         digit_ratio = m.digitRatio, line_count = m.lineCount,
         junk = Rules.isJunk(m), scrub_error = scrubError, pii_hits = piiHits,
-        row_fp = rowFp,
+        tox_hits = toxHits, row_fp = rowFp,
       )
     }
   }
@@ -152,6 +155,7 @@ object TranscriptPipeline {
         F.count(F.lit(1)).as("n_rows"),
         F.sum(F.col("keep").cast("long")).as("n_keep"),
         F.sum(F.col("pii_hits").cast("long")).as("pii_hits"),
+        F.sum(F.col("tox_hits").cast("long")).as("tox_hits"),
         F.sum(F.col("scrub_error").cast("long")).as("scrub_errors"))
   }
 
@@ -178,7 +182,8 @@ object TranscriptPipeline {
             last = s.scrubbed
             DecidedTurn(s.conv_id, s.turn_idx, s.role, s.lang, s.perplexity,
               s.scrubbed, s.junk, isRepeat,
-              !s.junk && !isRepeat && s.perplexity <= MaxPerplexity, s.pii_hits)
+              !s.junk && !isRepeat && s.perplexity <= MaxPerplexity,
+              s.pii_hits, s.tox_hits)
           }
           if (sorted.nonEmpty) state.update(RepeatState(last))
           out.iterator

@@ -159,7 +159,10 @@ object Transcripts {
     } else if (special < 15) {
       sb.append("\n```python\nprint(").append((r0 & Long.MaxValue) % 100)
         .append(")\n```\nafter")
-    } else if (special < 18) {
+    } else if (special < 17) {
+      sb.append(" this is ").append(
+        pick(Array("frakk", "smegh", "gorram"), r0)).append(" nonsense")
+    } else if (special < 20) {
       // junk: digit flood / whitespace flood / tiny
       val kind = special % 3
       if (kind == 0) { sb.setLength(0); var k = 0

@@ -230,6 +230,47 @@ object Scrub {
     (s, hits)
   }
 
+  // --------------------------------------------------------------------
+  // Toxicity deny-list scrub (north rule: "PII/toxicity scrub").
+  // A deny list compiles once into a single alternation with word
+  // boundaries (one regex pass regardless of list size); the compiled
+  // matcher is driver-built and broadcast. The default list is a
+  // placeholder — real deployments supply their own terms.
+  // --------------------------------------------------------------------
+
+  final val ToxMask = "<TOX>"
+
+  /** Compile a deny list into a single case-insensitive word-boundary
+    * pattern. Call once on the driver; the Pattern is Serializable-free
+    * but cheap to rebuild per executor via broadcastable DenyList. */
+  def compileDenyList(words: Seq[String]): Pattern = {
+    require(words.nonEmpty, "empty deny list")
+    val alternation = words.map(Pattern.quote).mkString("|")
+    Pattern.compile(s"(?i)\\b(?:$alternation)\\b")
+  }
+
+  /** Broadcastable deny list; the compiled pattern is rebuilt lazily per
+    * JVM (Pattern itself is not serializable-stable across versions). */
+  final class DenyList(val words: Seq[String]) extends Serializable {
+    @transient lazy val pattern: Pattern = compileDenyList(words)
+  }
+
+  val defaultDenyList: DenyList = new DenyList(Seq(
+    // deterministic placeholder terms (tests + synthetic corpus)
+    "frakk", "smegh", "gorram", "felgercarb"))
+
+  /** Mask every deny-list hit; returns (scrubbed, hits). */
+  def scrubDenyList(text: String, deny: DenyList): (String, Int) = {
+    if (text == null) return (null, 0)
+    val m = deny.pattern.matcher(text)
+    if (!m.find()) return (text, 0)
+    var hits = 0
+    val sb = new java.lang.StringBuilder(text.length)
+    do { hits += 1; m.appendReplacement(sb, ToxMask) } while (m.find())
+    m.appendTail(sb)
+    (sb.toString, hits)
+  }
+
   /** Count of PII hits per rule (for per-partition counters). */
   def piiHitCounts(text: String): Array[Int] = {
     val counts = new Array[Int](piiRules.length)

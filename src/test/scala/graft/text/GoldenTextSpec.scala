@@ -92,6 +92,17 @@ class GoldenTextSpec extends AnyFunSuite {
     assert(Scrub.scrubPii(once) == once)
   }
 
+  test("toxicity deny-list scrub: word-boundary, case-insensitive, counted") {
+    val deny = Scrub.defaultDenyList
+    assert(Scrub.scrubDenyList("what a frakk day", deny) == ("what a <TOX> day", 1))
+    assert(Scrub.scrubDenyList("FRAKK and Gorram twice", deny) == ("<TOX> and <TOX> twice", 2))
+    assert(Scrub.scrubDenyList("frakking is a different word", deny)._2 == 0)
+    assert(Scrub.scrubDenyList("clean text", deny) == ("clean text", 0))
+    // custom list
+    val custom = new Scrub.DenyList(Seq("foo.bar")) // regex metachars quoted
+    assert(Scrub.scrubDenyList("a foo.bar b fooxbar", custom) == ("a <TOX> b fooxbar", 1))
+  }
+
   test("newline normalization") {
     assert(Normalize.newlines("a\r\nb\rc\nd") == "a\nb\nc\nd")
     assert(Normalize.newlines("plain") == "plain")
