@@ -218,6 +218,18 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cosine"), 6).as("cos6"))
     }),
 
+    // IVF ANN: kmeans centroids + probe-restricted scan (no SQL oracle;
+    // recall vs brute force asserted in AnnSpec)
+    "q38_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val index = graft.sim.Ann.ivfFit(emb, "embedding", k = 8, seed = 42L)
+      val indexed = graft.sim.Ann.ivfAssign(emb.filter(col("vec_id") =!= 0), "embedding", index)
+      graft.sim.Ann.ivfTopK(indexed, "embedding", "vec_id", index, q, k = 10, nProbe = 2)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cos6"))
+    }),
+
     // A9 deterministic stratified sample (md5 bucket)
     "q22_det_sample" -> ((s, dir) =>
       t(s, dir, "documents")

@@ -151,9 +151,13 @@ object Dedup {
         F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>
           F.xxhash64(F.slice(F.col("minhash"), b * rowsPerBand + 1, F.lit(rowsPerBand))))
       ).as(Seq("band", "bucket")))
-    // cap pathological buckets
+    // cap pathological buckets — NOT silently: the dropped-row count is
+    // published through an observe metric ("minhash_caps"/"capped_rows")
+    // so a capped run is visible in job metrics
     val wB = Window.partitionBy("band", "bucket").orderBy(F.col(idCol))
     val capped = banded.withColumn("__bn", F.row_number().over(wB))
+      .observe("minhash_caps",
+        F.sum((F.col("__bn") > maxBucket).cast("long")).as("capped_rows"))
       .filter(F.col("__bn") <= maxBucket).drop("__bn")
     val a = capped.select(F.col("band"), F.col("bucket"),
       F.col(idCol).as("id_a"), F.col(textCol).as("text_a"))

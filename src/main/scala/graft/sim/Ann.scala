@@ -79,6 +79,52 @@ object Ann {
     bruteForceTopK(candidates, embCol, idCol, q, k)
   }
 
+  /** IVF (inverted-file) index: k-means centroids + cluster assignment.
+    * The scale path for ANN when recall matters more than build cost:
+    * queries probe the nProbe nearest centroids and scan only those
+    * clusters (expected fraction nProbe/k of the index). Centroids are
+    * trained distributed (spark.ml KMeans, seeded); assignment is a narrow
+    * map over the broadcast centroids.
+    */
+  final case class IvfIndex(centroids: Array[Array[Double]]) extends Serializable {
+    def nearestCentroids(v: Array[Double], nProbe: Int): Array[Int] =
+      centroids.indices
+        .map { i =>
+          var d = 0.0
+          val c = centroids(i)
+          var j = 0
+          while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+          (i, d)
+        }
+        .sortBy(_._2).take(nProbe).map(_._1).toArray
+  }
+
+  def ivfFit(df: DataFrame, embCol: String, k: Int, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val prepared = df.select(
+      array_to_vector(F.transform(F.col(embCol), x => x.cast("double"))).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20).fit(prepared)
+    IvfIndex(model.clusterCenters.map(_.toArray))
+  }
+
+  /** Assign each row to its nearest centroid (index build). */
+  def ivfAssign(df: DataFrame, embCol: String, index: IvfIndex): DataFrame = {
+    val assignUdf = F.udf { (v: Array[Float]) =>
+      index.nearestCentroids(v.map(_.toDouble), 1)(0)
+    }
+    df.withColumn("ivf_cluster", assignUdf(F.col(embCol)))
+  }
+
+  /** IVF top-k: scan only the nProbe clusters nearest to the query. */
+  def ivfTopK(indexed: DataFrame, embCol: String, idCol: String,
+              index: IvfIndex, q: Array[Float], k: Int, nProbe: Int = 2): DataFrame = {
+    val probes = index.nearestCentroids(q.map(_.toDouble), nProbe)
+    bruteForceTopK(
+      indexed.filter(F.col("ivf_cluster").isin(probes.toSeq: _*)),
+      embCol, idCol, q, k)
+  }
+
   /** All-pairs near-neighbors above a cosine threshold via LSH buckets
     * (embedding-cosine near-dup detection). Exact cosine verifies each
     * candidate pair; only same-bucket pairs are compared. */

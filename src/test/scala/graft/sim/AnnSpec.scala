@@ -44,6 +44,25 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IVF top-k recall >= 0.9 vs brute force while scanning a fraction") {
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "embedding").cache()
+    val index = Ann.ivfFit(df, "embedding", k = 4, seed = 11L)
+    val indexed = Ann.ivfAssign(df, "embedding", index).cache()
+    val q = vec(3, 555)
+    val exact = Ann.bruteForceTopK(df, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Ann.ivfTopK(indexed, "embedding", "vec_id", index, q, k = 10, nProbe = 1)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall")
+    // the probe really does restrict the scan
+    val probes = index.nearestCentroids(q.map(_.toDouble), 1)
+    val scanned = indexed.filter(org.apache.spark.sql.functions.col("ivf_cluster")
+      .isin(probes.toSeq: _*)).count()
+    assert(scanned < rows.size, s"IVF must scan a subset, scanned $scanned/${rows.size}")
+  }
+
   test("cosine near-dup pairs stay within clusters") {
     import spark.implicits._
     val df = rows.take(50).toDF("vec_id", "embedding") // clusters 0 and 1
