@@ -32,7 +32,7 @@ object Dedup {
   /** Hashes of word w-shingles of the normalized text. */
   def shingleHashes(text: String, w: Int): Array[Long] = {
     if (text == null) return Array.empty
-    val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     if (words.length < w) {
       if (words.isEmpty) Array.empty
       else Array(mix64(words.mkString(" ").hashCode.toLong))
@@ -78,7 +78,7 @@ object Dedup {
   /** 64-bit SimHash over word unigram hashes. */
   def simhash(text: String): Long = {
     if (text == null) return 0L
-    val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     val acc = new Array[Int](64)
     var wi = 0
     while (wi < words.length) {
@@ -165,9 +165,11 @@ object Dedup {
       F.col(idCol).as("id_b"), F.col(textCol).as("text_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(F.col("id_a") < F.col("id_b"))
+      // dedupe candidates BEFORE the expensive exact-Jaccard kernel: a true
+      // near-dup pair collides in many bands and would be verified per band
+      .select("id_a", "id_b", "text_a", "text_b").distinct()
       .select(F.col("id_a"), F.col("id_b"),
         jaccardUdf(F.col("text_a"), F.col("text_b"), F.lit(w)).as("jaccard"))
-      .distinct()
       .filter(F.col("jaccard") >= threshold)
   }
 

@@ -25,15 +25,16 @@ object SnippetEtl {
 
   val DroppedLanguages: Seq[String] = Seq("Text", "Less", "SCSS", "Diff")
 
-  /** One file → its kept snippet chunks. Files whose scrub raises are
-    * skipped (None). */
-  def processFile(f: SourceFile, limit: Int): Seq[SourceFile] = {
+  /** One file → (kept snippet chunks, scrubError flag). Null snippets and
+    * files whose scrub raises are dropped (flagged), never fatal. */
+  def processFile(f: SourceFile, limit: Int): (Seq[SourceFile], Boolean) = {
+    if (f.Snippet == null) return (Seq.empty, true)
     val scrubbed =
       try Scrub.removeSubLanguage(f.Snippet, f.Language, f.FileId)
-      catch { case _: Scrub.MalformedInputException => return Seq.empty }
-    Splitter.splitSnippet(scrubbed, limit).toSeq
+      catch { case _: Scrub.MalformedInputException => return (Seq.empty, true) }
+    (Splitter.splitSnippet(scrubbed, limit).toSeq
       .filter(chunk => !Rules.isJunk(Metrics.of(chunk)))
-      .map(chunk => SourceFile(f.FileId, f.Language, chunk))
+      .map(chunk => SourceFile(f.FileId, f.Language, chunk)), false)
   }
 
   /** The distributed plan. `rebalance`: downsample the majority class to
@@ -44,8 +45,13 @@ object SnippetEtl {
     import spark.implicits._
     val snippets = files
       .filter(f => !DroppedLanguages.contains(f.Language))
-      .flatMap(processFile(_, limit))
-      .toDF()
+      .map(f => processFile(f, limit))
+      .toDF("chunks", "scrub_error")
+      // dropped-file count is a job metric, not a silent disappearance
+      .observe("snippet_etl", F.sum(F.col("scrub_error").cast("long")).as("scrub_errors"))
+      .select(F.explode(F.col("chunks")).as("c"))
+      .select(F.col("c.FileId").as("FileId"), F.col("c.Language").as("Language"),
+        F.col("c.Snippet").as("Snippet"))
     if (!rebalance) snippets
     else Sampling.rebalance(snippets, "Language", maxRatio = 2.0, seed,
       "FileId", "Snippet")

@@ -16,23 +16,23 @@ import org.apache.spark.sql.{DataFrame, functions => F}
 object F1 {
 
   /** Per-class TP/FP/FN/F1 table. The big table is shuffled exactly once
-    * (the confusion groupBy); everything downstream operates on the tiny
-    * (n_classes²)-row confusion matrix. */
+    * (the confusion groupBy); the tiny (<= n_classes²)-row confusion matrix
+    * is collected and the per-class arithmetic is plain local code —
+    * no cached lineage, no extra jobs. */
   def perClass(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
-    val conf = confusion(df, labelCol, predCol).cache()
-    val a = F.col("actual"); val p = F.col("predicted")
-    val tp = conf.filter(a === p).groupBy(a.as("cls")).agg(F.sum("n").as("tp"))
-    val fp = conf.filter(a =!= p).groupBy(p.as("cls")).agg(F.sum("n").as("fp"))
-    val fn = conf.filter(a =!= p).groupBy(a.as("cls")).agg(F.sum("n").as("fn"))
-    val all = conf.select(a.as("cls")).union(conf.select(p.as("cls"))).distinct()
-    all
-      .join(tp, Seq("cls"), "left")
-      .join(fp, Seq("cls"), "left")
-      .join(fn, Seq("cls"), "left")
-      .na.fill(0L, Seq("tp", "fp", "fn"))
-      .withColumn("f1",
-        F.when(F.col("tp") * 2 + F.col("fp") + F.col("fn") === 0, F.lit(0.0))
-          .otherwise(F.col("tp") * 2.0 / (F.col("tp") * 2 + F.col("fp") + F.col("fn"))))
+    val conf = confusion(df, labelCol, predCol).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val classes = (conf.map(_._1) ++ conf.map(_._2)).distinct.sorted
+    val rows = classes.map { cls =>
+      val tp = conf.collect { case (a, p, n) if a == cls && p == cls => n }.sum
+      val fp = conf.collect { case (a, p, n) if p == cls && a != cls => n }.sum
+      val fn = conf.collect { case (a, p, n) if a == cls && p != cls => n }.sum
+      val f1 = if (2 * tp + fp + fn == 0) 0.0 else 2.0 * tp / (2.0 * tp + fp + fn)
+      (cls, tp, fp, fn, f1)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toSeq.toDF("cls", "tp", "fp", "fn", "f1")
   }
 
   /** Macro-F1 over the (label, pred) columns. */

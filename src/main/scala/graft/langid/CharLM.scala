@@ -38,7 +38,7 @@ final case class CharLMModel(
 
   def perplexity(text: String, classIdx: Int): Double =
     if (text == null) CharLM.EmptyPerplexity
-    else perplexityLower(text.toLowerCase, classIdx)
+    else perplexityLower(text.toLowerCase(java.util.Locale.ROOT), classIdx)
 
   def perplexity(text: String, lang: String): Double = {
     val idx = classes.indexOf(lang)
@@ -67,7 +67,7 @@ object CharLM {
         it.foreach { case (label, text0) =>
           if (text0 != null && text0.length >= 2) {
             val counts = acc.getOrElseUpdate(label, new Array[Long](v * v))
-            val text = text0.toLowerCase
+            val text = text0.toLowerCase(java.util.Locale.ROOT)
             var prev = bucket(text.charAt(0), v)
             var i = 1
             while (i < text.length) {

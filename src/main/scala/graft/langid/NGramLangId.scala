@@ -78,7 +78,7 @@ final case class NGramModel(
 
   def predictIdx(text: String): Int = {
     if (text == null) return 0
-    val scores = scoresLower(text.toLowerCase)
+    val scores = scoresLower(text.toLowerCase(java.util.Locale.ROOT))
     var best = 0; var i = 1
     while (i < scores.length) { if (scores(i) > scores(best)) best = i; i += 1 }
     best
@@ -87,12 +87,14 @@ final case class NGramModel(
   def predict(text: String): String = classes(predictIdx(text))
 
   /** (bestIdx, confidence) for an already-lowercased text. Confidence is a
-    * softmax over length-normalized scores. */
+    * softmax over scores normalized by the SAMPLED n-gram count (the same
+    * strided positions scoresLower accumulates — normalizing by the full
+    * count would collapse confidence toward 1/numClasses on long texts). */
   def predictWithConfLower(text: String): (Int, Double) = {
     val scores = scoresLower(text)
     var best = 0; var i = 1
     while (i < scores.length) { if (scores(i) > scores(best)) best = i; i += 1 }
-    val n = math.max(1, NGramLangId.totalNgrams(text, nMin, nMax))
+    val n = math.max(1, NGramLangId.sampledNgrams(text, nMin, nMax))
     var sum = 0.0
     i = 0
     while (i < scores.length) { sum += math.exp((scores(i) - scores(best)) / n); i += 1 }
@@ -101,7 +103,7 @@ final case class NGramModel(
 
   /** (label, confidence) — see predictWithConfLower. */
   def predictWithConf(text: String): (String, Double) = {
-    val (best, conf) = predictWithConfLower(if (text == null) "" else text.toLowerCase)
+    val (best, conf) = predictWithConfLower(if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
     (classes(best), conf)
   }
 }
@@ -113,6 +115,20 @@ object NGramLangId {
     * ~30 cycles per n-gram (mix64 makes the low bits uniform). */
   @inline private[langid] def bucketOf(h0: Long, numBuckets: Int): Int =
     (graft.dedup.Dedup.mix64(h0) & (numBuckets - 1)).toInt
+
+  /** Number of n-gram positions scoresLower actually visits (strided). */
+  def sampledNgrams(text: String, nMin: Int, nMax: Int): Int = {
+    if (text == null) return 0
+    val stride = 1 + text.length / 2048
+    var total = 0
+    var n = nMin
+    while (n <= nMax) {
+      val end = text.length - n
+      if (end >= 0) total += end / stride + 1
+      n += 1
+    }
+    total
+  }
 
   def totalNgrams(text: String, nMin: Int, nMax: Int): Int = {
     if (text == null) return 0
@@ -126,7 +142,7 @@ object NGramLangId {
   def hashCounts(text0: String, numBuckets: Int, nMin: Int, nMax: Int): java.util.HashMap[Integer, Integer] = {
     val out = new java.util.HashMap[Integer, Integer]()
     if (text0 == null) return out
-    val text = text0.toLowerCase
+    val text = text0.toLowerCase(java.util.Locale.ROOT)
     var n = nMin
     while (n <= nMax) {
       var i = 0

@@ -82,6 +82,16 @@ object PartitionedSink {
       if (committed.isEmpty) withPart
       else withPart.filter(!F.col("part").isin(committed.keys.toSeq: _*))
 
+    // Crash safety: data files without a manifest are uncommitted leftovers
+    // of an interrupted run — delete them before appending, otherwise the
+    // "resumed" write would duplicate their rows (the manifest, written
+    // last, is the commit point).
+    val f = fs(spark, outDir)
+    (0 until nParts).filterNot(committed.contains).foreach { pnum =>
+      val dir = new Path(s"$outDir/data/part=$pnum")
+      if (f.exists(dir)) f.delete(dir, true)
+    }
+
     // One shot: shuffle once on part, write data files per partition dir.
     pending
       .repartition(F.col("part"))

@@ -109,7 +109,8 @@ object TranscriptPipeline {
     private val lmIdx: Array[Int] = nm.classes.map(c => lmm.classes.indexOf(c))
 
     def score(t: Turn, rowFp: Long): ScoredTurn = {
-      val normalized = Normalize.newlines(t.text)
+      // null text = empty turn (a 10^12-row job must not abort on one bad row)
+      val normalized = if (t.text == null) "" else Normalize.newlines(t.text)
       var scrubError = false
       val deMarkup =
         if (normalized.indexOf('<') < 0) normalized // fast path: no markup
@@ -121,7 +122,7 @@ object TranscriptPipeline {
         }
       val (dePii, piiHits) = Scrub.scrubPiiCounting(deMarkup)
       val (scrubbed, toxHits) = Scrub.scrubDenyList(dePii, deny)
-      val lower = scrubbed.toLowerCase
+      val lower = scrubbed.toLowerCase(java.util.Locale.ROOT)
       val (langIdx, conf) = nm.predictWithConfLower(lower)
       val li = lmIdx(langIdx)
       val ppl = if (li < 0) graft.langid.CharLM.EmptyPerplexity

@@ -24,7 +24,10 @@ object Ann {
       F.lit(0.0), (acc, x) => acc + x)
     val norm = F.sqrt(F.aggregate(F.transform(embD, a => a * a),
       F.lit(0.0), (acc, x) => acc + x))
-    dot / (norm * F.lit(qNorm))
+    // zero-norm rows (or a zero query) must rank last, not NaN-first
+    // (Spark sorts NaN above every double)
+    if (qNorm == 0.0) F.lit(-1.0)
+    else F.when(norm === 0.0, F.lit(-1.0)).otherwise(dot / (norm * F.lit(qNorm)))
   }
 
   /** Exact top-k by cosine similarity to a single query vector. */

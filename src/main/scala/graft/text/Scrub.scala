@@ -45,7 +45,16 @@ object Scrub {
     * Returns (scrubbedText, removedAny).
     */
   def stripRawTextTag(text: String, tagName: String, fileId: String = "unknown"): (String, Boolean) = {
-    val lower = text.toLowerCase
+    // per-char lowercase: guaranteed 1:1 with `text` (String.toLowerCase can
+    // change length, e.g. U+0130, desyncing indices) and locale-free (the
+    // Turkish-I problem would silently skip <SCRIPT> tags on executors with
+    // a tr default locale)
+    val lower = {
+      val arr = new Array[Char](text.length)
+      var i = 0
+      while (i < text.length) { arr(i) = Character.toLowerCase(text.charAt(i)); i += 1 }
+      new String(arr)
+    }
     val openToken = "<" + tagName
     val closeToken = "</" + tagName + ">"
     val out = new java.lang.StringBuilder(text.length)
@@ -271,16 +280,4 @@ object Scrub {
     (sb.toString, hits)
   }
 
-  /** Count of PII hits per rule (for per-partition counters). */
-  def piiHitCounts(text: String): Array[Int] = {
-    val counts = new Array[Int](piiRules.length)
-    if (text == null) return counts
-    var i = 0
-    while (i < piiRules.length) {
-      val m = piiRules(i).pattern.matcher(text)
-      while (m.find()) counts(i) += 1
-      i += 1
-    }
-    counts
-  }
 }

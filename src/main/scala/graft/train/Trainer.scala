@@ -69,8 +69,14 @@ object Trainer {
     val labels = feat.select(labelCol).distinct().collect().map(_.getString(0)).sorted
     val labelIdx = labels.zipWithIndex.toMap
     val weights = balancedWeights(feat.filter(!F.col("is_val")), labelCol)
+    // LR infers numClasses from the train split; a class present only in
+    // the val split would desync the exported coef matrix — fail fast with
+    // a diagnosable error instead of an IndexOutOfBounds at export
+    require(weights.keySet == labels.toSet,
+      s"classes absent from the train split: ${labels.toSet -- weights.keySet} " +
+        "(decrease valPct or supply more rows per class)")
     val idxUdf = F.udf((l: String) => labelIdx(l).toDouble)
-    val wUdf = F.udf((l: String) => weights(l))
+    val wUdf = F.udf((l: String) => weights.getOrElse(l, 1.0))
     val prepared = feat
       .withColumn("label", idxUdf(F.col(labelCol)))
       .withColumn("weight", wUdf(F.col(labelCol)))

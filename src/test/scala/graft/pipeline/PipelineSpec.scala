@@ -206,6 +206,16 @@ class PipelineSpec extends AnyFunSuite {
     val keepCount = landed.filter(F.col("keep")).count()
     assert(r1.written.map(_.nKeep).sum == keepCount)
 
+    // crash recovery: a partition with data but no manifest (simulating a
+    // crash between data write and manifest commit) must be recomputed
+    // WITHOUT duplicating rows
+    val crashPart = r1.written.head.part
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$out/_manifests/part-$crashPart.json"))
+    val r2b = PartitionedSink.write(spark, result, out, nParts)
+    assert(r2b.written.map(_.part) == Seq(crashPart))
+    assert(spark.read.parquet(s"$out/data").count() == totalRows,
+      "crash-recovered partition must not duplicate rows")
+
     // unchanged input -> nothing invalidated
     assert(PartitionedSink.invalidateChanged(spark, small.toDF(), out, nParts).isEmpty)
 
