@@ -448,7 +448,11 @@ object SparkEntry {
         s"""SELECT lang, $md5bucket < 20 AS is_val, count(*) AS n
            |FROM documents GROUP BY 1, 2""".stripMargin,
       "q12_dedup_exact" ->
-        s"SELECT lang, count(DISTINCT $fpSql) AS n FROM documents GROUP BY 1",
+        // global dedup keeps the min-id row per fingerprint, so a text
+        // duplicated across languages counts once, under the min-id's lang
+        s"""SELECT lang, count(*) AS n FROM (
+           |  SELECT arg_min(lang, doc_id) AS lang FROM documents GROUP BY $fpSql
+           |) GROUP BY 1""".stripMargin,
       "q13_token_stats" ->
         s"""SELECT source, sum($tokSql) AS n_tokens, sum(n_chars) AS n_chars
            |FROM documents GROUP BY 1""".stripMargin,

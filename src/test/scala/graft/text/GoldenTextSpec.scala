@@ -103,6 +103,21 @@ class GoldenTextSpec extends AnyFunSuite {
     assert(Scrub.scrubDenyList("a foo.bar b fooxbar", custom) == ("a <TOX> b fooxbar", 1))
   }
 
+  test("tag scrub is locale-independent (Turkish-I regression)") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      // 'I' lowercases to dotless 'ı' under tr — a locale-sensitive
+      // lowercase would miss the tag entirely
+      val (out, removed) = Scrub.stripRawTextTag("<SCRIPT>secret</SCRIPT>", "script")
+      assert(removed)
+      assert(out == "<SCRIPT></SCRIPT>")
+      // length-changing mapping (U+0130) near a tag must not desync indices
+      val (out2, _) = Scrub.stripRawTextTag("İ<script>x</script>", "script")
+      assert(out2 == "İ<script></script>")
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("newline normalization") {
     assert(Normalize.newlines("a\r\nb\rc\nd") == "a\nb\nc\nd")
     assert(Normalize.newlines("plain") == "plain")
