@@ -41,6 +41,7 @@ class PipelineSpec extends AnyFunSuite {
       }
       .toDF("lang_true", "lang_pred")
     val acc = F1.accuracy(preds, "lang_true", "lang_pred")
+    info(s"4-language accuracy: $acc")
     assert(acc > 0.97, s"langid accuracy $acc")
     val macroF1 = F1.macroF1(preds, "lang_true", "lang_pred")
     assert(macroF1 > 0.95, s"langid macro-F1 $macroF1")
@@ -120,6 +121,7 @@ class PipelineSpec extends AnyFunSuite {
       }
       .toDF("lang_true", "lang_pred")
     val acc = F1.accuracy(preds, "lang_true", "lang_pred")
+    info(s"97-language accuracy: $acc")
     assert(acc > 0.9, s"97-language accuracy $acc")
   }
 
