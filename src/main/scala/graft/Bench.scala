@@ -97,9 +97,44 @@ object Bench {
       sec
     }
 
+    // secondary: the shuffle-free clustered path. Needs a GLOBALLY sorted
+    // single file (multi-file reads get bin-packed out of order) with
+    // small row groups so byte-range splits carry rows; one-time prep.
+    val clusteredPath = s"$tmp/transcripts_clustered"
+    locally {
+      val s = newSession(cpus)
+      s.read.parquet(inputPath)
+        .orderBy("conv_id", "turn_idx")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.block.size", (4 * 1024 * 1024).toString)
+        .parquet(clusteredPath)
+      s.stop()
+    }
+    def clusteredRun(cores: Int): Double = {
+      val s = newSession(cores)
+      import s.implicits._
+      s.conf.set("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+      val nm = s.sparkContext.broadcast(nmodel)
+      val lm = s.sparkContext.broadcast(lmodel)
+      val turns = s.read.parquet(clusteredPath).as[Turn]
+      TranscriptPipeline.runClustered(s, turns.limit(20000), nm, lm)
+        .write.format("noop").mode("overwrite").save()
+      val sec = (1 to 2).map { _ =>
+        time {
+          TranscriptPipeline.runClustered(s, turns, nm, lm)
+            .write.format("noop").mode("overwrite").save()
+        }._2
+      }.min
+      s.stop()
+      sec
+    }
+
     val nSmall = math.max(1, cpus / 4)
     val secSmall = pipelineRun(nSmall)
     val sec4N = pipelineRun(cpus)
+    val secClusteredSmall = clusteredRun(nSmall)
+    val secClustered4N = clusteredRun(cpus)
     val tpsSmall = nTurns / secSmall
     val tps4N = nTurns / sec4N
     val eff = (tps4N / tpsSmall) / (cpus.toDouble / nSmall)
@@ -109,7 +144,9 @@ object Bench {
     val pipeline =
       f"""{"n_turns":$nTurns,"cores_n":$nSmall,"sec_n":$secSmall%.3f,"tps_n":$tpsSmall%.0f,""" +
       f""""cores_4n":$cpus,"sec_4n":$sec4N%.3f,"tps_4n":$tps4N%.0f,""" +
-      f""""scaling_efficiency":$eff%.3f,"train_ngram_sec":$trainNgramSec%.3f,"train_lm_sec":$trainLmSec%.3f}"""
+      f""""scaling_efficiency":$eff%.3f,"train_ngram_sec":$trainNgramSec%.3f,"train_lm_sec":$trainLmSec%.3f,""" +
+      f""""clustered_tps_n":${nTurns / secClusteredSmall}%.0f,"clustered_tps_4n":${nTurns / secClustered4N}%.0f,""" +
+      f""""clustered_scaling_efficiency":${(nTurns / secClustered4N) / (nTurns / secClusteredSmall) / (cpus.toDouble / nSmall)}%.3f}"""
     println(
       f"""{"metric":"total","value":${totalQuerySec + sec4N}%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":$pipeline}""")
   }

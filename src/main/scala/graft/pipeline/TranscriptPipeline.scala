@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, functions => F}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession, functions => F}
 import org.apache.spark.sql.expressions.Window
 
 import graft.langid.{CharLMModel, NGramModel}
@@ -158,6 +158,97 @@ object TranscriptPipeline {
         F.sum(F.col("pii_hits").cast("long")).as("pii_hits"),
         F.sum(F.col("tox_hits").cast("long")).as("tox_hits"),
         F.sum(F.col("scrub_error").cast("long")).as("scrub_errors"))
+  }
+
+  /** Shuffle-free variant for CONV-CLUSTERED tables (the common physical
+    * layout for transcript tables: rows sorted by (conv_id, turn_idx) and
+    * conversations contiguous across the partition order). decide()'s
+    * window shuffle moves every byte of the table; at 10^12 turns that is
+    * the dominant cost. Here repeat detection runs inside the scoring
+    * pass instead:
+    *
+    *  1. a cheap boundary pass scans the input once and collects ONE row
+    *     per partition (its last turn) plus ordering evidence
+    *  2. the driver chains boundaries across empty partitions, verifies
+    *     global contiguity (throws IllegalStateException if the table is
+    *     not clustered — use run() then), and scrubs just those boundary
+    *     turns
+    *  3. one mapPartitionsWithIndex does scoring + repeat detection with
+    *     the broadcast boundary map seeding each partition's first row
+    *
+    * Cost: one extra input scan (IO) instead of a full-table shuffle
+    * (write+read+sort) — the trade that wins at 100 TB.
+    */
+  def runClustered(spark: SparkSession, turns: Dataset[Turn],
+                   langModel: Broadcast[NGramModel], lm: Broadcast[CharLMModel]): DataFrame = {
+    import spark.implicits._
+
+    // 1. boundary pass: (pid, firstConv, lastTurn, sortedWithin)
+    val bounds = turns.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var first: Turn = null
+      var last: Turn = null
+      var sorted = true
+      it.foreach { t =>
+        if (first == null) first = t
+        else if (t.conv_id < last.conv_id ||
+          (t.conv_id == last.conv_id && t.turn_idx <= last.turn_idx)) sorted = false
+        last = t
+      }
+      if (first == null) Iterator.empty
+      else Iterator.single((pid, first.conv_id, last, sorted))
+    }.collect().sortBy(_._1)
+
+    bounds.foreach { case (pid, _, _, sorted) =>
+      if (!sorted) throw new IllegalStateException(
+        s"partition $pid is not sorted by (conv_id, turn_idx); " +
+          "runClustered requires a conv-clustered table — use run() instead")
+    }
+    bounds.sliding(2).foreach {
+      case Array((_, _, prevLast, _), (pid, firstConv, _, _)) =>
+        if (firstConv < prevLast.conv_id) throw new IllegalStateException(
+          s"conversations are not contiguous at partition $pid; " +
+            "runClustered requires a conv-clustered table — use run() instead")
+      case _ => ()
+    }
+
+    // 2. effective previous turn per partition (chained over empty parts),
+    //    scrubbed on the driver (one TurnScorer call per boundary row)
+    val scorerD = new TurnScorer(langModel.value, lm.value)
+    val prevByPid: Map[Int, (String, String)] = {
+      val m = scala.collection.mutable.Map.empty[Int, (String, String)]
+      var carry: Option[Turn] = None
+      var carryPid = -1
+      val nonEmpty = bounds.map(b => b._1 -> b._3).toMap
+      val maxPid = turns.rdd.getNumPartitions
+      (0 until maxPid).foreach { pid =>
+        carry.foreach { t =>
+          m(pid) = (t.conv_id, scorerD.score(t, 0L).scrubbed)
+        }
+        nonEmpty.get(pid).foreach { lastT => carry = Some(lastT); carryPid = pid }
+      }
+      m.toMap
+    }
+    val bcPrev = spark.sparkContext.broadcast(prevByPid)
+
+    // 3. fused scoring + repeat detection, shuffle-free
+    val nm = langModel; val lmm = lm
+    val decided = turns.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val scorer = new TurnScorer(nm.value, lmm.value)
+      var prevConv: String = null
+      var prevScrubbed: String = null
+      bcPrev.value.get(pid).foreach { case (c, s) => prevConv = c; prevScrubbed = s }
+      it.map { t =>
+        val s = scorer.score(t, RowFp.of(t.conv_id, t.turn_idx, t.text))
+        val isRepeat = t.conv_id == prevConv && s.scrubbed == prevScrubbed
+        prevConv = t.conv_id
+        prevScrubbed = s.scrubbed
+        (s, isRepeat, !s.junk && !isRepeat && s.perplexity <= MaxPerplexity)
+      }
+    }
+    spark.createDataset(decided)(Encoders.tuple(
+        Encoders.product[ScoredTurn], Encoders.scalaBoolean, Encoders.scalaBoolean))
+      .toDF("s", "is_repeat", "keep")
+      .select(F.col("s.*"), F.col("is_repeat"), F.col("keep"))
   }
 
   /** Streaming variant: the stage-1 narrow map is stateless and applies

@@ -125,6 +125,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(acc > 0.9, s"97-language accuracy $acc")
   }
 
+  test("row_fp replica matches the SQL xxhash64 expression") {
+    val df = Transcripts.generate(spark, nConvs = 20, seed = 31L, hotFactor = 1).toDF()
+      .withColumn("sql_fp", F.xxhash64(F.col("conv_id"), F.col("turn_idx"), F.col("text")))
+    val mismatches = df.collect().count { r =>
+      RowFp.of(r.getString(0), r.getInt(1), r.getString(3)) != r.getAs[Long]("sql_fp")
+    }
+    assert(mismatches == 0)
+  }
+
+  test("clustered (shuffle-free) pipeline equals the windowed pipeline") {
+    val (nm, lm) = models
+    val dir = java.nio.file.Files.createTempDirectory("graft_clustered").toString
+    Transcripts.generate(spark, nConvs = 400, seed = 19L, hotFactor = 30, numPartitions = 1)
+      .write.mode("overwrite")
+      // small row groups so byte-range splits actually carry rows
+      .option("parquet.block.size", (64 * 1024).toString)
+      .parquet(dir)
+    val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      // force many tiny input splits so conversations straddle partition
+      // boundaries (the case the boundary exchange exists for)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      val turnsIn = spark.read.parquet(dir).as[Turn]
+      assert(turnsIn.rdd.getNumPartitions > 4, "fixture must split the file")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getInt(1)) -> (r.getBoolean(2), r.getString(3), r.getLong(4))
+      val clustered = TranscriptPipeline.runClustered(spark, turnsIn, nm, lm)
+        .select("conv_id", "turn_idx", "keep", "scrubbed", "row_fp")
+        .collect().map(key).toMap
+      val windowed = TranscriptPipeline.run(spark, turnsIn, nm, lm)
+        .select("conv_id", "turn_idx", "keep", "scrubbed", "row_fp")
+        .collect().map(key).toMap
+      assert(clustered.size == windowed.size)
+      assert(clustered == windowed)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+  }
+
+  test("clustered pipeline rejects non-clustered input") {
+    val (nm, lm) = models
+    val shuffled = turns.repartition(6) // round-robin destroys ordering
+    assertThrows[IllegalStateException] {
+      TranscriptPipeline.runClustered(spark, shuffled, nm, lm).count()
+    }
+  }
+
   test("observe metrics report pipeline counters in one pass") {
     val (nm, lm) = models
     val small = Transcripts.generate(spark, nConvs = 30, seed = 13L, hotFactor = 1)
