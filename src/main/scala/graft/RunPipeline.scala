@@ -100,7 +100,11 @@ object RunPipeline {
     // ---- the job ----
     val nm = spark.sparkContext.broadcast(nmodel)
     val lm = spark.sparkContext.broadcast(lmodel)
-    val result = TranscriptPipeline.run(spark, turns, nm, lm, saltParts = salt)
+    // resume pruning at the SOURCE: drop committed partitions before the
+    // scoring map (the sink-side filter can't be pushed through it)
+    val pendingTurns = turns.filter(
+      PartitionedSink.pendingInputFilter(spark, output, nParts)).as[Turn]
+    val result = TranscriptPipeline.run(spark, pendingTurns, nm, lm, saltParts = salt)
     val report = PartitionedSink.write(spark, result, output, nParts)
 
     val written = report.written

@@ -16,11 +16,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
   * The partition of a row is pmod(xxhash64(conv_id), nParts) — a pure
   * function of the conversation key, so a restart computes identical
   * partition assignment and can skip any partition whose manifest exists.
-  * The manifest records an order-independent input fingerprint
-  * (count + bit_xor of xxhash64(conv_id, turn_idx, scrubbed-source
-  * text)), so `validateInput=true` can detect changed input and invalidate
-  * the skip (silent stale-cache reuse is the failure mode the reference's
-  * fingerprint guards against — SURVEY.md §7.4.6).
+  * Each manifest records its partition count and an order-independent
+  * input fingerprint (row count + bit_xor of xxhash64(conv_id, turn_idx,
+  * raw input text), carried through the pipeline as row_fp), so
+  * `invalidateChanged()` can detect changed input and drop stale
+  * partitions before a resume (silent stale-cache reuse is the failure
+  * mode the reference's fingerprint guards against — SURVEY.md §7.4.6).
+  * Resumes with a different nParts are refused (different partitioning of
+  * the same rows would duplicate data).
   *
   * Uses the Hadoop FileSystem API throughout, so the same code runs on
   * HDFS / object stores on a real cluster.
@@ -28,8 +31,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 object PartitionedSink {
 
   final case class PartManifest(
-      part: Int, nRows: Long, nKeep: Long, piiHits: Long, toxHits: Long,
-      scrubErrors: Long, fpCount: Long, fpSum: Long)
+      part: Int, nParts: Int, nRows: Long, nKeep: Long, piiHits: Long,
+      toxHits: Long, scrubErrors: Long, fpSum: Long)
 
   final case class WriteReport(written: Seq[PartManifest], skipped: Seq[Int])
 
@@ -51,10 +54,11 @@ object PartitionedSink {
         val in = f.open(st.getPath)
         val node = try mapper.readTree(in) finally in.close()
         Some(node.get("part").asInt() -> PartManifest(
-          node.get("part").asInt(), node.get("nRows").asLong(),
+          node.get("part").asInt(), node.get("nParts").asInt(),
+          node.get("nRows").asLong(),
           node.get("nKeep").asLong(), node.get("piiHits").asLong(),
           node.get("toxHits").asLong(), node.get("scrubErrors").asLong(),
-          node.get("fpCount").asLong(), node.get("fpSum").asLong()))
+          node.get("fpSum").asLong()))
       }
     }.toMap
   }
@@ -62,7 +66,7 @@ object PartitionedSink {
   private def writeManifest(spark: SparkSession, outDir: String, m: PartManifest): Unit = {
     val f = fs(spark, outDir)
     val json =
-      s"""{"part":${m.part},"nRows":${m.nRows},"nKeep":${m.nKeep},"piiHits":${m.piiHits},"toxHits":${m.toxHits},"scrubErrors":${m.scrubErrors},"fpCount":${m.fpCount},"fpSum":${m.fpSum}}"""
+      s"""{"part":${m.part},"nParts":${m.nParts},"nRows":${m.nRows},"nKeep":${m.nKeep},"piiHits":${m.piiHits},"toxHits":${m.toxHits},"scrubErrors":${m.scrubErrors},"fpSum":${m.fpSum}}"""
     val tmp = new Path(s"$outDir/_manifests/.part-${m.part}.json.tmp")
     val dst = new Path(s"$outDir/_manifests/part-${m.part}.json")
     val out = f.create(tmp, true)
@@ -77,6 +81,17 @@ object PartitionedSink {
     */
   def write(spark: SparkSession, df: DataFrame, outDir: String, nParts: Int): WriteReport = {
     val committed = committedParts(spark, outDir)
+    // manifests from a run with a different nParts describe a different
+    // partitioning of the same rows: resuming across that boundary would
+    // duplicate data — refuse loudly
+    committed.values.find(_.nParts != nParts).foreach { m =>
+      throw new IllegalStateException(
+        s"output $outDir was committed with nParts=${m.nParts}, requested $nParts — " +
+          "finish the resume with the original nParts or start a fresh output dir")
+    }
+    // fully committed: nothing to compute or write
+    if (committed.size == nParts)
+      return WriteReport(Seq.empty, committed.keys.toSeq.sorted)
     val withPart = df.withColumn("part", partCol(nParts))
     val pending =
       if (committed.isEmpty) withPart
@@ -107,23 +122,39 @@ object PartitionedSink {
     val manifests =
       if (writtenParts.isEmpty) Seq.empty[PartManifest]
       else {
-        val landed = spark.read.parquet(s"$outDir/data")
-          .filter(F.col("part").isin(writtenParts.toSeq: _*))
-        landed.groupBy("part").agg(
-          F.count(F.lit(1)).as("nRows"),
-          F.sum(F.col("keep").cast("long")).as("nKeep"),
-          F.sum(F.col("pii_hits").cast("long")).as("piiHits"),
-          F.sum(F.col("tox_hits").cast("long")).as("toxHits"),
-          F.sum(F.col("scrub_error").cast("long")).as("scrubErrors"),
-          F.count(F.lit(1)).as("fpCount"),
-          F.expr("bit_xor(row_fp)").as("fpSum"),
-        ).collect().map { r =>
-          PartManifest(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
-            r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
-        }.toSeq
+        // an all-rows-filtered write leaves only _SUCCESS: no part dirs,
+        // nothing to manifest (schema inference would fail on zero files)
+        val anyPartDir = writtenParts.exists(pnum =>
+          f.exists(new Path(s"$outDir/data/part=$pnum")))
+        if (!anyPartDir) Seq.empty[PartManifest]
+        else {
+          val landed = spark.read.parquet(s"$outDir/data")
+            .filter(F.col("part").isin(writtenParts.toSeq: _*))
+          landed.groupBy("part").agg(
+            F.count(F.lit(1)).as("nRows"),
+            F.sum(F.col("keep").cast("long")).as("nKeep"),
+            F.sum(F.col("pii_hits").cast("long")).as("piiHits"),
+            F.sum(F.col("tox_hits").cast("long")).as("toxHits"),
+            F.sum(F.col("scrub_error").cast("long")).as("scrubErrors"),
+            F.expr("bit_xor(row_fp)").as("fpSum"),
+          ).collect().map { r =>
+            PartManifest(r.getInt(0), nParts, r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+          }.toSeq
+        }
       }
     manifests.foreach(writeManifest(spark, outDir, _))
     WriteReport(manifests, committed.keys.toSeq.sorted)
+  }
+
+  /** Input-side pruning for resume: committed partitions can be dropped
+    * BEFORE the expensive scoring map (the sink-side filter sits above an
+    * opaque mapPartitions and cannot be pushed down by Catalyst). Apply to
+    * the raw turns: `turns.filter(pendingInputFilter(spark, out, n))`. */
+  def pendingInputFilter(spark: SparkSession, outDir: String, nParts: Int): org.apache.spark.sql.Column = {
+    val committed = committedParts(spark, outDir).keys.toSeq
+    if (committed.isEmpty) F.lit(true)
+    else !partCol(nParts).isin(committed: _*)
   }
 
   /** Validate committed partitions against the current input: recompute
@@ -136,12 +167,12 @@ object PartitionedSink {
     if (committed.isEmpty) return Seq.empty
     val current = input.withColumn("part", partCol(nParts))
       .groupBy("part").agg(
-        F.count(F.lit(1)).as("fpCount"),
+        F.count(F.lit(1)).as("nRows"),
         F.expr("bit_xor(xxhash64(conv_id, turn_idx, text))").as("fpSum"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     val f = fs(spark, outDir)
     val stale = committed.collect {
-      case (p, m) if current.get(p).forall { case (c, s) => c != m.fpCount || s != m.fpSum } => p
+      case (p, m) if current.get(p).forall { case (c, s) => c != m.nRows || s != m.fpSum } => p
     }.toSeq.sorted
     stale.foreach { p =>
       f.delete(new Path(s"$outDir/_manifests/part-$p.json"), false)

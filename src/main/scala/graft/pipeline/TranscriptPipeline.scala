@@ -37,8 +37,12 @@ final case class DecidedTurn(
     perplexity: Double, scrubbed: String, junk: Boolean,
     is_repeat: Boolean, keep: Boolean, pii_hits: Int, tox_hits: Int)
 
-/** Per-conversation streaming state: last scrubbed turn text. */
-final case class RepeatState(lastScrubbed: String)
+/** Per-conversation streaming state: last scrubbed turn text + the
+  * turn_idx high-water mark. Streaming repeat detection assumes turns
+  * arrive in order per conversation (watermark-respecting source); a turn
+  * arriving below the high-water mark is conservatively marked non-repeat
+  * and does not clobber state backwards. */
+final case class RepeatState(lastScrubbed: String, lastTurn: Int)
 
 /** Turn plus its input fingerprint xxhash64(conv_id, turn_idx, text) —
   * computed as a Column before the typed map so the lineage manifests can
@@ -183,19 +187,30 @@ object TranscriptPipeline {
                    langModel: Broadcast[NGramModel], lm: Broadcast[CharLMModel]): DataFrame = {
     import spark.implicits._
 
-    // 1. boundary pass: (pid, firstConv, lastTurn, sortedWithin)
+    // null-safe (conv, turn) ordering: null conv sorts first, matching
+    // Spark's NULLS FIRST ascending default
+    def convCmp(a: String, b: String): Int =
+      if (a == null && b == null) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else a.compareTo(b)
+    def keyLeq(aConv: String, aTurn: Int, bConv: String, bTurn: Int): Boolean = {
+      val c = convCmp(aConv, bConv)
+      c < 0 || (c == 0 && aTurn <= bTurn)
+    }
+
+    // 1. boundary pass: (pid, firstTurn, lastTurn, sortedWithin)
     val bounds = turns.rdd.mapPartitionsWithIndex { (pid, it) =>
       var first: Turn = null
       var last: Turn = null
       var sorted = true
       it.foreach { t =>
         if (first == null) first = t
-        else if (t.conv_id < last.conv_id ||
-          (t.conv_id == last.conv_id && t.turn_idx <= last.turn_idx)) sorted = false
+        else if (keyLeq(t.conv_id, t.turn_idx, last.conv_id, last.turn_idx)) sorted = false
         last = t
       }
       if (first == null) Iterator.empty
-      else Iterator.single((pid, first.conv_id, last, sorted))
+      else Iterator.single((pid, first, last, sorted))
     }.collect().sortBy(_._1)
 
     bounds.foreach { case (pid, _, _, sorted) =>
@@ -203,11 +218,14 @@ object TranscriptPipeline {
         s"partition $pid is not sorted by (conv_id, turn_idx); " +
           "runClustered requires a conv-clustered table — use run() instead")
     }
+    // cross-partition: strictly increasing (conv, turn) keys — also catches
+    // a same-conversation turn regression/overlap across the boundary
     bounds.sliding(2).foreach {
-      case Array((_, _, prevLast, _), (pid, firstConv, _, _)) =>
-        if (firstConv < prevLast.conv_id) throw new IllegalStateException(
-          s"conversations are not contiguous at partition $pid; " +
-            "runClustered requires a conv-clustered table — use run() instead")
+      case Array((_, _, prevLast, _), (pid, firstT, _, _)) =>
+        if (keyLeq(firstT.conv_id, firstT.turn_idx, prevLast.conv_id, prevLast.turn_idx))
+          throw new IllegalStateException(
+            s"(conv_id, turn_idx) keys are not contiguous at partition $pid; " +
+              "runClustered requires a conv-clustered table — use run() instead")
       case _ => ()
     }
 
@@ -269,15 +287,17 @@ object TranscriptPipeline {
          state: org.apache.spark.sql.streaming.GroupState[RepeatState]) =>
           val sorted = rows.toArray.sortBy(_.turn_idx)
           var last = state.getOption.map(_.lastScrubbed).orNull
+          var lastTurn = state.getOption.map(_.lastTurn).getOrElse(Int.MinValue)
           val out = sorted.map { s =>
-            val isRepeat = s.scrubbed == last
-            last = s.scrubbed
+            val inOrder = s.turn_idx > lastTurn
+            val isRepeat = inOrder && s.scrubbed == last
+            if (inOrder) { last = s.scrubbed; lastTurn = s.turn_idx }
             DecidedTurn(s.conv_id, s.turn_idx, s.role, s.lang, s.perplexity,
               s.scrubbed, s.junk, isRepeat,
               !s.junk && !isRepeat && s.perplexity <= MaxPerplexity,
               s.pii_hits, s.tox_hits)
           }
-          if (sorted.nonEmpty) state.update(RepeatState(last))
+          if (sorted.nonEmpty) state.update(RepeatState(last, lastTurn))
           out.iterator
       }
   }
