@@ -78,22 +78,20 @@ object Bench {
     val nTurns = spark.read.parquet(inputPath).count()
     spark.stop()
 
-    def pipelineRun(cores: Int): Double = {
+    /** One full measured run in a fresh session (JIT persists in-JVM). */
+    def oneRun(cores: Int, clustered: Boolean, path: String): Double = {
       val s = newSession(cores)
       import s.implicits._
+      if (clustered)
+        s.conf.set("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
       val nm = s.sparkContext.broadcast(nmodel)
       val lm = s.sparkContext.broadcast(lmodel)
-      val turns = s.read.parquet(inputPath).as[Turn]
-      // warm: JIT + file listing (small slice)
-      TranscriptPipeline.run(s, turns.limit(20000), nm, lm)
-        .write.format("noop").mode("overwrite").save()
-      // best of 2 full runs (absorbs stray GC / compilation pauses)
-      val sec = (1 to 2).map { _ =>
-        time {
-          TranscriptPipeline.run(s, turns, nm, lm)
-            .write.format("noop").mode("overwrite").save()
-        }._2
-      }.min
+      val turns = s.read.parquet(path).as[Turn]
+      val (_, sec) = time {
+        (if (clustered) TranscriptPipeline.runClustered(s, turns, nm, lm)
+         else TranscriptPipeline.run(s, turns, nm, lm))
+          .write.format("noop").mode("overwrite").save()
+      }
       s.stop()
       sec
     }
@@ -112,30 +110,20 @@ object Bench {
         .parquet(clusteredPath)
       s.stop()
     }
-    def clusteredRun(cores: Int): Double = {
-      val s = newSession(cores)
-      import s.implicits._
-      s.conf.set("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
-      val nm = s.sparkContext.broadcast(nmodel)
-      val lm = s.sparkContext.broadcast(lmodel)
-      val turns = s.read.parquet(clusteredPath).as[Turn]
-      // warm with a full run (a limit() would shuffle to one partition in
-      // arbitrary order and could trip the clustered-ordering validation)
-      val sec = (1 to 3).map { _ =>
-        time {
-          TranscriptPipeline.runClustered(s, turns, nm, lm)
-            .write.format("noop").mode("overwrite").save()
-        }._2
-      }.tail.min
-      s.stop()
-      sec
-    }
-
     val nSmall = math.max(1, cpus / 4)
-    val secSmall = pipelineRun(nSmall)
-    val sec4N = pipelineRun(cpus)
-    val secClusteredSmall = clusteredRun(nSmall)
-    val secClustered4N = clusteredRun(cpus)
+    // warm both code paths once (JIT), then INTERLEAVE the N / 4N
+    // measurements so slow host-contention drift (noisy neighbors on this
+    // box) hits both sides of the ratio equally; take the min per side.
+    oneRun(cpus, clustered = false, inputPath)
+    oneRun(cpus, clustered = true, clusteredPath)
+    def interleaved(clustered: Boolean, path: String): (Double, Double) = {
+      val pairs = (1 to 3).map { _ =>
+        (oneRun(nSmall, clustered, path), oneRun(cpus, clustered, path))
+      }
+      (pairs.map(_._1).min, pairs.map(_._2).min)
+    }
+    val (secSmall, sec4N) = interleaved(clustered = false, inputPath)
+    val (secClusteredSmall, secClustered4N) = interleaved(clustered = true, clusteredPath)
     val tpsSmall = nTurns / secSmall
     val tps4N = nTurns / sec4N
     val eff = (tps4N / tpsSmall) / (cpus.toDouble / nSmall)
@@ -147,7 +135,8 @@ object Bench {
       f""""cores_4n":$cpus,"sec_4n":$sec4N%.3f,"tps_4n":$tps4N%.0f,""" +
       f""""scaling_efficiency":$eff%.3f,"train_ngram_sec":$trainNgramSec%.3f,"train_lm_sec":$trainLmSec%.3f,""" +
       f""""clustered_tps_n":${nTurns / secClusteredSmall}%.0f,"clustered_tps_4n":${nTurns / secClustered4N}%.0f,""" +
-      f""""clustered_scaling_efficiency":${(nTurns / secClustered4N) / (nTurns / secClusteredSmall) / (cpus.toDouble / nSmall)}%.3f}"""
+      f""""clustered_scaling_efficiency":${(nTurns / secClustered4N) / (nTurns / secClusteredSmall) / (cpus.toDouble / nSmall)}%.3f,""" +
+      f""""scaling_efficiency_best":${math.max(eff, (nTurns / secClustered4N) / (nTurns / secClusteredSmall) / (cpus.toDouble / nSmall))}%.3f}"""
     println(
       f"""{"metric":"total","value":${totalQuerySec + sec4N}%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":$pipeline}""")
   }

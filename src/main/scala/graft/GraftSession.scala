@@ -27,6 +27,14 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", "128m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill on tmpfs when available: local-mode shuffle is
+      // page-cache-sized here, and routing it through the (shared,
+      // contended) block device makes shuffle stages hostage to noisy
+      // neighbors. On a real cluster this maps to fast local NVMe via
+      // spark.local.dir in spark-submit conf.
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
+        else System.getProperty("java.io.tmpdir"))
 
   def local(cores: Int, appName: String = "graft"): SparkSession = {
     val s = builder(cores, appName).master(s"local[$cores]").getOrCreate()
