@@ -15,7 +15,14 @@ import graft.quality.Rules
   *  - alias every computed column identically in Spark and SQL
   *  - money aggregates: sum over decimal(18,2) casts (exact), never
   *    float sums
-  *  - deterministic row sets only: every LIMIT has a total-order ORDER BY
+  *  - EVERY query carries a total-order ORDER BY on both sides — the
+  *    driver's hash gate is row-order sensitive (round-1 q8 lesson)
+  *  - the driver's hash is also TYPE-representation sensitive: DuckDB
+  *    sum(INT/BIGINT) returns HUGEINT (→ float64 via Arrow) and
+  *    sum(DECIMAL(18,2)) returns DECIMAL(38,2), while Spark emits BIGINT /
+  *    DECIMAL(28,2). Every oracle integer sum is wrapped in
+  *    CAST(... AS BIGINT) and every decimal sum in CAST(... AS
+  *    DECIMAL(28,2)) (round-1 q13/q14/q17/q28/q31/q35/q36/q37 lesson)
   *  - hash buckets use md5-hex (same in both engines), not xxhash64
   */
 object SparkEntry {
@@ -74,7 +81,8 @@ object SparkEntry {
     // A1 group count — `features.py:86` value_counts
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(sum("l_quantity").as("sum_qty"))),
+        .agg(sum("l_quantity").as("sum_qty"))
+        .orderBy("l_returnflag")),
 
     // TPC-H Q1 shape: multi-agg with exact decimal sums
     "q2_pricing_agg" -> ((s, dir) =>
@@ -83,7 +91,8 @@ object SparkEntry {
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
-          count(lit(1)).as("n"))),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
 
     // J1 joins (broadcast dims) + group agg
     "q3_join_agg" -> ((s, dir) => {
@@ -97,15 +106,18 @@ object SparkEntry {
         .groupBy(col("r_name"))
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
           count(lit(1)).as("n_orders"))
+        .orderBy("r_name")
     }),
 
     // O3 per-group head via window row_number
     "q4_window_head" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       t(s, dir, "events")
-        .withColumn("rn", row_number().over(w))
+        // long, not Spark's int32 row_number: DuckDB row_number() is BIGINT
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 2)
         .select("user_id", "rn", "event_id", "event_type")
+        .orderBy("user_id", "rn")
     }),
 
     // O1 sort + deterministic limit (total order incl. tiebreaks)
@@ -119,35 +131,41 @@ object SparkEntry {
     "q6_union_distinct" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
         .unionByName(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
-        .distinct()),
+        .distinct()
+        .orderBy("nationkey")),
 
     // F1 isin membership filter
     "q7_filter_isin" -> ((s, dir) =>
       t(s, dir, "documents")
         .filter(col("lang").isin("en", "de", "fr"))
-        .groupBy("lang", "source").agg(count(lit(1)).as("n"))),
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "source")),
 
     // F4/F5 projection + rename + filter pushdown
     "q8_project_rename" -> ((s, dir) =>
       t(s, dir, "part")
         .filter(col("p_size") > 20)
         .select(col("p_partkey").as("part_key"), upper(col("p_brand")).as("brand_u"),
-          col("p_retailprice").cast("decimal(18,2)").as("price"))),
+          col("p_retailprice").cast("decimal(18,2)").as("price"))
+        .orderBy("part_key")),
 
     // A11 distinct count
     "q9_countdistinct" -> ((s, dir) =>
       t(s, dir, "events").groupBy("event_type")
-        .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))),
+        .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
+        .orderBy("event_type")),
 
     // A1 value_counts with order
     "q10_value_counts" -> ((s, dir) =>
-      t(s, dir, "documents").groupBy("lang").agg(count(lit(1)).as("n"))),
+      t(s, dir, "documents").groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")),
 
     // A10 deterministic hash split (md5 bucket -- oracle-checkable)
     "q11_det_split" -> ((s, dir) =>
       t(s, dir, "documents")
         .withColumn("is_val", md5Bucket(col("doc_id"), 100) < 20)
-        .groupBy("lang", "is_val").agg(count(lit(1)).as("n"))),
+        .groupBy("lang", "is_val").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "is_val")),
 
     // exact dedup over a doubled table: keep min id per fingerprint
     "q12_dedup_exact" -> ((s, dir) => {
@@ -155,13 +173,15 @@ object SparkEntry {
       val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
       graft.dedup.Dedup.exact(doubled, "text", "doc_id")
         .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
     }),
 
     // token counting
     "q13_token_stats" -> ((s, dir) =>
       t(s, dir, "documents").groupBy("source")
         .agg(sum(tokenCount(col("text"))).as("n_tokens"),
-          sum(col("n_chars")).as("n_chars"))),
+          sum(col("n_chars")).as("n_chars"))
+        .orderBy("source")),
 
     // F7 char-class metrics (ASCII, exact integer sums)
     "q14_charclass" -> ((s, dir) =>
@@ -169,24 +189,28 @@ object SparkEntry {
         .agg(sum(letterCount(col("text"))).as("letters"),
           sum(digitCount(col("text"))).as("digits"),
           sum(wsCount(col("text"))).as("ws"),
-          sum(punctCount(col("text"))).as("punct"))),
+          sum(punctCount(col("text"))).as("punct"))
+        .orderBy("source")),
 
     // F2 junk filter decisions
     "q15_junk_filter" -> ((s, dir) =>
       t(s, dir, "documents")
         .withColumn("keep", !Rules.isJunkCol(length(col("text")), lineCount(col("text")),
           asciiLetterRatio(col("text")), asciiPunctRatio(col("text")), asciiDigitRatio(col("text"))))
-        .groupBy("lang", "keep").agg(count(lit(1)).as("n"))),
+        .groupBy("lang", "keep").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "keep")),
 
     // document fingerprinting
     "q16_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"), fingerprint(col("text")).as("fp"))),
+      t(s, dir, "documents").select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
 
     // quality scoring (integer-exact component sum)
     "q17_quality" -> ((s, dir) =>
       t(s, dir, "documents").groupBy("source")
         .agg(sum((qualityScore(col("text")) * 4).cast("long")).as("ok_components"),
-          count(lit(1)).as("n"))),
+          count(lit(1)).as("n"))
+        .orderBy("source")),
 
     // ANN brute-force cosine top-k to a fixed stored query vector
     "q18_ann_brute" -> ((s, dir) => {
@@ -200,13 +224,15 @@ object SparkEntry {
     // MinHash LSH near-dup pairs on planted dups (no SQL oracle)
     "q19_minhash_dups" -> ((s, dir) =>
       graft.dedup.Dedup.minhashDupPairs(docsWithPlantedDups(s, dir), "text", "doc_id",
-          w = 3, k = 32, bands = 8, threshold = 0.5)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j6"))),
+          w = 3, k = 32, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j6"))
+        .orderBy("id_a", "id_b")),
 
     // SimHash near-dup pairs on planted dups (no SQL oracle)
     "q20_simhash_dups" -> ((s, dir) =>
       graft.dedup.Dedup.simhashDupPairs(docsWithPlantedDups(s, dir), "text", "doc_id",
-        maxHamming = 6)),
+        maxHamming = 6)
+        .orderBy("id_a", "id_b")),
 
     // LSH ANN (no SQL oracle; recall vs brute-force is asserted in tests)
     "q21_ann_lsh" -> ((s, dir) => {
@@ -234,7 +260,8 @@ object SparkEntry {
     "q22_det_sample" -> ((s, dir) =>
       t(s, dir, "documents")
         .filter(md5Bucket(col("doc_id"), 100) < 30)
-        .groupBy("lang").agg(count(lit(1)).as("n"))),
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")),
 
     // X1 substring feature bits via the broadcast Aho-Corasick matcher
     "q23_feature_bits" -> ((s, dir) => {
@@ -246,6 +273,7 @@ object SparkEntry {
         .select(col("doc_id") +: toks.zipWithIndex.map { case (tk, i) =>
           col("bits").getItem(i).as(s"has_$tk")
         }: _*)
+        .orderBy("doc_id")
     }),
 
     // P1+P3 linear scoring with the built-in tiny model (exact SQL oracle)
@@ -253,6 +281,7 @@ object SparkEntry {
       val bc = s.sparkContext.broadcast(new graft.score.Scorer(graft.model.DefaultModels.tiny))
       val predUdf = udf((text: String) => bc.value.predictLabel(text))
       t(s, dir, "documents").select(col("doc_id"), predUdf(col("text")).as("pred"))
+        .orderBy("doc_id")
     }),
 
     // F9 label remap via a literal map expression
@@ -263,6 +292,7 @@ object SparkEntry {
       t(s, dir, "documents")
         .withColumn("family", element_at(remap, col("lang")))
         .groupBy("family").agg(count(lit(1)).as("n"))
+        .orderBy("family")
     }),
 
     // S5/O3 skip-take (offset + limit under a total order)
@@ -275,7 +305,7 @@ object SparkEntry {
       val preds = t(s, dir, "documents").select(
         col("lang").as("label"),
         when(md5Bucket(col("doc_id"), 10) === 0, lit("en")).otherwise(col("lang")).as("pred"))
-      graft.eval.F1.perClass(preds, "label", "pred")
+      graft.eval.F1.perClass(preds, "label", "pred").orderBy("cls")
     }),
 
     // windowed sessionization (lag + running sum), exact epoch outputs
@@ -283,7 +313,8 @@ object SparkEntry {
       graft.streaming.EventStream.sessionizeBatch(t(s, dir, "events"), gapMinutes = 30)
         .select(col("user_id"), col("session_id"), col("n_events"),
           col("start").cast("timestamp").cast("long").as("start_s"),
-          col("end").cast("timestamp").cast("long").as("end_s"))),
+          col("end").cast("timestamp").cast("long").as("end_s"))
+        .orderBy("user_id", "session_id")),
 
     // G1-G4+F2 corpus ETL over documents-as-files (scrub+split+junk filter)
     "q29_snippet_etl" -> ((s, dir) => {
@@ -299,6 +330,7 @@ object SparkEntry {
         }
       graft.etl.SnippetEtl.run(s, files, limit = 5, rebalance = false)
         .groupBy("Language").agg(count(lit(1)).as("n_chunks"))
+        .orderBy("Language")
     }),
 
     // A2 feature-occurrence rates via the native MultiContains expression
@@ -314,6 +346,7 @@ object SparkEntry {
           sum(col("b").getItem(1).cast("long")).as("n_data"),
           sum(col("b").getItem(2).cast("long")).as("n_query"),
           count(lit(1)).as("n_samples"))
+        .orderBy("lang")
     }),
 
     // G1 as a native Generator: split_snippets explodes files into chunks
@@ -321,7 +354,8 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"),
           graft.plans.GraftFunctions.splitSnippets(col("text"), 3))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))),
+        .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        .orderBy("doc_id")),
 
     // X3/X4 structural predicates as Column expressions
     "q33_structural" -> ((s, dir) => {
@@ -331,6 +365,7 @@ object SparkEntry {
         hasDollarVarCol(col("text")).as("has_dollar"),
         hasPythonFStringCol(col("text")).as("has_fstring"),
         hasLineStartingWithCol(col("text"), "agg").as("line_agg"))
+        .orderBy("doc_id")
     }),
 
     // exact n-gram (word 3-shingle) Jaccard between consecutive docs —
@@ -353,6 +388,7 @@ object SparkEntry {
             .otherwise(size(array_intersect(col("sa"), col("sb"))) /
               size(array_union(col("sa"), col("sb")))).as("jaccard"))
         .select(col("id_a"), round(col("jaccard"), 6).as("j6"))
+        .orderBy("id_a")
     }),
 
     // temporal range predicate (pushed to the parquet scan)
@@ -362,14 +398,16 @@ object SparkEntry {
           expr("l_shipdate < TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"))),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"))
+        .orderBy("l_returnflag")),
 
     // semi-structured column: JSON field extraction + aggregation
     "q37_json_extract" -> ((s, dir) =>
       t(s, dir, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy("event_type")
-        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))),
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")),
 
     // A3/A4 global statistics (exact integer sums; mean as exact division)
     "q35_global_stats" -> ((s, dir) =>
@@ -387,6 +425,7 @@ object SparkEntry {
           sum(col("width").cast("long")).as("sum_w"),
           sum(col("durationMs").cast("long")).as("sum_dur"),
           sum(col("valid").cast("long")).as("n_valid"))
+        .orderBy("modality")
     }),
   )
 
@@ -410,68 +449,72 @@ object SparkEntry {
          | OR (CASE WHEN length(text)=0 THEN 0.0 ELSE $digitCountSql / CAST(length(text) AS DOUBLE) END) > 0.5)""".stripMargin
     Map(
       "q1_agg" ->
-        "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1",
+        "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1 ORDER BY 1",
       "q2_pricing_agg" ->
         """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-          | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price, count(*) AS n
-          |FROM lineitem GROUP BY 1, 2""".stripMargin,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price, count(*) AS n
+          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "q3_join_agg" ->
-        """SELECT r_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue, count(*) AS n_orders
+        """SELECT r_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue, count(*) AS n_orders
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |JOIN nation ON c_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
-          |GROUP BY 1""".stripMargin,
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q4_window_head" ->
         """SELECT user_id, rn, event_id, event_type FROM (
           | SELECT user_id, event_id, event_type,
           |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-          | FROM events) WHERE rn <= 2""".stripMargin,
+          | FROM events) WHERE rn <= 2 ORDER BY user_id, rn""".stripMargin,
       "q5_topn" ->
         """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
           |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25""".stripMargin,
       "q6_union_distinct" ->
-        """SELECT c_nationkey AS nationkey FROM customer
-          |UNION SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+        """SELECT nationkey FROM (
+          |SELECT c_nationkey AS nationkey FROM customer
+          |UNION SELECT s_nationkey AS nationkey FROM supplier) ORDER BY 1""".stripMargin,
       "q7_filter_isin" ->
         """SELECT lang, source, count(*) AS n FROM documents
-          |WHERE lang IN ('en','de','fr') GROUP BY 1, 2""".stripMargin,
+          |WHERE lang IN ('en','de','fr') GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "q8_project_rename" ->
         """SELECT p_partkey AS part_key, upper(p_brand) AS brand_u,
           | CAST(p_retailprice AS DECIMAL(18,2)) AS price
-          |FROM part WHERE p_size > 20""".stripMargin,
+          |FROM part WHERE p_size > 20 ORDER BY part_key""".stripMargin,
       "q9_countdistinct" ->
         """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
-          |FROM events GROUP BY 1""".stripMargin,
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
       "q10_value_counts" ->
-        "SELECT lang, count(*) AS n FROM documents GROUP BY 1",
+        "SELECT lang, count(*) AS n FROM documents GROUP BY 1 ORDER BY 1",
       "q11_det_split" ->
         s"""SELECT lang, $md5bucket < 20 AS is_val, count(*) AS n
-           |FROM documents GROUP BY 1, 2""".stripMargin,
+           |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "q12_dedup_exact" ->
         // global dedup keeps the min-id row per fingerprint, so a text
         // duplicated across languages counts once, under the min-id's lang
         s"""SELECT lang, count(*) AS n FROM (
            |  SELECT arg_min(lang, doc_id) AS lang FROM documents GROUP BY $fpSql
-           |) GROUP BY 1""".stripMargin,
+           |) GROUP BY 1 ORDER BY 1""".stripMargin,
       "q13_token_stats" ->
-        s"""SELECT source, sum($tokSql) AS n_tokens, sum(n_chars) AS n_chars
-           |FROM documents GROUP BY 1""".stripMargin,
+        s"""SELECT source, CAST(sum($tokSql) AS BIGINT) AS n_tokens,
+           | CAST(sum(n_chars) AS BIGINT) AS n_chars
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
       "q14_charclass" ->
-        s"""SELECT source, sum($letterCountSql) AS letters, sum($digitCountSql) AS digits,
-           | sum($wsCountSql) AS ws, sum($punctCountSql) AS punct
-           |FROM documents GROUP BY 1""".stripMargin,
+        s"""SELECT source, CAST(sum($letterCountSql) AS BIGINT) AS letters,
+           | CAST(sum($digitCountSql) AS BIGINT) AS digits,
+           | CAST(sum($wsCountSql) AS BIGINT) AS ws,
+           | CAST(sum($punctCountSql) AS BIGINT) AS punct
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
       "q15_junk_filter" ->
-        s"SELECT lang, NOT $junkSql AS keep, count(*) AS n FROM documents GROUP BY 1, 2",
+        s"SELECT lang, NOT $junkSql AS keep, count(*) AS n FROM documents GROUP BY 1, 2 ORDER BY 1, 2",
       "q16_fingerprint" ->
-        s"SELECT doc_id, $fpSql AS fp FROM documents",
+        s"SELECT doc_id, $fpSql AS fp FROM documents ORDER BY doc_id",
       "q17_quality" ->
-        s"""SELECT source, sum(
+        s"""SELECT source, CAST(sum(
            |  CAST((CASE WHEN length(text) BETWEEN 75 AND 50000 THEN 1.0 ELSE 0.0 END
            |   + CASE WHEN (CASE WHEN length(text)=0 THEN 0.0 ELSE $letterCountSql / CAST(length(text) AS DOUBLE) END) BETWEEN 0.01 AND 0.9 THEN 1.0 ELSE 0.0 END
            |   + CASE WHEN (CASE WHEN length(text)=0 THEN 0.0 ELSE $punctCountSql / CAST(length(text) AS DOUBLE) END) <= 0.4 THEN 1.0 ELSE 0.0 END
            |   + CASE WHEN (CASE WHEN length(text)=0 THEN 0.0 ELSE $digitCountSql / CAST(length(text) AS DOUBLE) END) <= 0.5 THEN 1.0 ELSE 0.0 END) AS BIGINT)
-           | ) AS ok_components, count(*) AS n
-           |FROM documents GROUP BY 1""".stripMargin,
+           | ) AS BIGINT) AS ok_components, count(*) AS n
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
       "q18_ann_brute" ->
         """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
           |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos6
@@ -481,18 +524,18 @@ object SparkEntry {
           |LIMIT 10""".stripMargin,
       "q22_det_sample" ->
         s"""SELECT lang, count(*) AS n FROM documents
-           |WHERE $md5bucket < 30 GROUP BY 1""".stripMargin,
+           |WHERE $md5bucket < 30 GROUP BY 1 ORDER BY 1""".stripMargin,
       "q23_feature_bits" ->
         """SELECT doc_id, contains(text, 'the') AS has_the, contains(text, 'and') AS has_and,
           | contains(text, 'data') AS has_data, contains(text, 'query') AS has_query,
           | contains(text, 'spark') AS has_spark
-          |FROM documents""".stripMargin,
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "q24_langid_tiny" -> tinyModelOracleSql,
       "q25_label_remap" ->
         """SELECT CASE lang WHEN 'en' THEN 'germanic' WHEN 'de' THEN 'germanic'
           | WHEN 'fr' THEN 'romance' WHEN 'es' THEN 'romance'
           | WHEN 'zh' THEN 'sinitic' END AS family, count(*) AS n
-          |FROM documents GROUP BY 1""".stripMargin,
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
       "q26_offset_limit" ->
         "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 50 OFFSET 100",
       "q27_macro_f1" -> {
@@ -509,15 +552,16 @@ object SparkEntry {
            |SELECT cl.cls, coalesce(tp, 0) AS tp, coalesce(fp, 0) AS fp, coalesce(fn, 0) AS fn,
            | CASE WHEN coalesce(tp,0)*2 + coalesce(fp,0) + coalesce(fn,0) = 0 THEN 0.0
            |  ELSE coalesce(tp,0) * 2.0 / (coalesce(tp,0)*2 + coalesce(fp,0) + coalesce(fn,0)) END AS f1
-           |FROM cl LEFT JOIN tpt USING (cls) LEFT JOIN fpt USING (cls) LEFT JOIN fnt USING (cls)""".stripMargin
+           |FROM cl LEFT JOIN tpt USING (cls) LEFT JOIN fpt USING (cls) LEFT JOIN fnt USING (cls)
+           |ORDER BY cls""".stripMargin
       },
       "q31_feature_occurrence" ->
         """SELECT lang,
-          | sum(CASE WHEN contains(text, 'the') THEN 1 ELSE 0 END) AS n_the,
-          | sum(CASE WHEN contains(text, 'data') THEN 1 ELSE 0 END) AS n_data,
-          | sum(CASE WHEN contains(text, 'query') THEN 1 ELSE 0 END) AS n_query,
+          | CAST(sum(CASE WHEN contains(text, 'the') THEN 1 ELSE 0 END) AS BIGINT) AS n_the,
+          | CAST(sum(CASE WHEN contains(text, 'data') THEN 1 ELSE 0 END) AS BIGINT) AS n_data,
+          | CAST(sum(CASE WHEN contains(text, 'query') THEN 1 ELSE 0 END) AS BIGINT) AS n_query,
           | count(*) AS n_samples
-          |FROM documents GROUP BY 1""".stripMargin,
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
       "q32_split_generator" ->
         // chunk count from the split semantics: full chunks close at every
         // limit-th non-blank line; a trailing partial (last line of these
@@ -528,17 +572,17 @@ object SparkEntry {
           |    len(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')) AS ne
           |  FROM documents)
           |SELECT doc_id,
-          |  CASE WHEN (ne // 3 + CASE WHEN ne % 3 > 0 THEN 1 ELSE 0 END) >= 2
+          |  CAST(CASE WHEN (ne // 3 + CASE WHEN ne % 3 > 0 THEN 1 ELSE 0 END) >= 2
           |       THEN (ne // 3 + CASE WHEN ne % 3 > 0 THEN 1 ELSE 0 END) - 1
-          |       ELSE 1 END AS n_chunks
-          |FROM e""".stripMargin,
+          |       ELSE 1 END AS BIGINT) AS n_chunks
+          |FROM e ORDER BY doc_id""".stripMargin,
       "q33_structural" ->
         """SELECT doc_id,
           | regexp_matches(text, '\$[A-Za-z_]') AS has_dollar,
           | regexp_matches(text, '(^|[^A-Za-z0-9_])f[''"]') AS has_fstring,
           | (len(list_filter(string_split(text, chr(10)),
           |    x -> starts_with(ltrim(x), 'agg'))) > 0) AS line_agg
-          |FROM documents""".stripMargin,
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "q34_ngram_jaccard" ->
         """WITH sh AS (
           |  SELECT doc_id,
@@ -552,21 +596,23 @@ object SparkEntry {
           |  round(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 1.0
           |   ELSE len(list_intersect(list_distinct(a.s), list_distinct(b.s)))
           |        / len(list_distinct(list_concat(a.s, b.s))) END, 6) AS j6
-          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+          |ORDER BY id_a""".stripMargin,
       "q36_date_filter" ->
         """SELECT l_returnflag, count(*) AS n,
-          | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
           |FROM lineitem
           |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
-          |GROUP BY 1""".stripMargin,
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q37_json_extract" ->
-        """SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        """SELECT event_type,
+          | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           | count(*) AS n
-          |FROM events GROUP BY 1""".stripMargin,
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
       "q35_global_stats" ->
-        s"""SELECT count(*) AS n, sum(length(text)) AS total_chars,
-           | sum(length(text)) / count(*) AS mean_len,
-           | sum($tokSql) AS total_tokens
+        s"""SELECT count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           | CAST(sum(length(text)) AS DOUBLE) / count(*) AS mean_len,
+           | CAST(sum($tokSql) AS BIGINT) AS total_tokens
            |FROM documents""".stripMargin,
       "q28_sessionize" ->
         """WITH g AS (
@@ -581,10 +627,10 @@ object SparkEntry {
           |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
           |      ROWS UNBOUNDED PRECEDING) AS session_id
           |  FROM g)
-          |SELECT user_id, session_id, count(*) AS n_events,
+          |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
           |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
           |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
-          |FROM s GROUP BY 1, 2""".stripMargin,
+          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     )
   }
 
@@ -605,6 +651,6 @@ object SparkEntry {
        |  CASE WHEN s0 >= s1 AND s0 >= s2 THEN '${m.classes(0)}'
        |       WHEN s1 >= s2 THEN '${m.classes(1)}'
        |       ELSE '${m.classes(2)}' END AS pred
-       |FROM sc""".stripMargin
+       |FROM sc ORDER BY doc_id""".stripMargin
   }
 }
