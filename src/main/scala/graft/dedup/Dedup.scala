@@ -136,6 +136,11 @@ object Dedup {
     * id_a < id_b and exact-Jaccard >= threshold.
     *
     * Scale shape: explode to (band, bucketHash) -> self-join per bucket.
+    * The banded exchange carries ONLY (id, band, bucket) — 24 bytes/row/band
+    * — never the document text: at transcript scale, text through a
+    * bands-way explode multiplies shuffle bytes by ~bands. Text is
+    * re-attached to the (small) candidate set by two id-joins just before
+    * the exact-Jaccard verify kernel.
     * Bucket sizes are bounded w.h.p.; a hot bucket (degenerate text) is
     * capped at `maxBucket` rows to bound the quadratic blowup, and capping
     * is logged via the dropped-bucket count rather than silently.
@@ -144,9 +149,9 @@ object Dedup {
                       w: Int = 3, k: Int = 32, bands: Int = 8,
                       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = k / bands
-    val withSig = withMinhash(df.select(F.col(idCol), F.col(textCol)), textCol, w, k)
-    val banded = withSig.select(
-      F.col(idCol), F.col(textCol),
+    val base = df.select(F.col(idCol), F.col(textCol))
+    val banded = withMinhash(base, textCol, w, k).select(
+      F.col(idCol),
       F.posexplode(
         F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>
           F.xxhash64(F.slice(F.col("minhash"), b * rowsPerBand + 1, F.lit(rowsPerBand))))
@@ -159,32 +164,45 @@ object Dedup {
       .observe("minhash_caps",
         F.sum((F.col("__bn") > maxBucket).cast("long")).as("capped_rows"))
       .filter(F.col("__bn") <= maxBucket).drop("__bn")
-    val a = capped.select(F.col("band"), F.col("bucket"),
-      F.col(idCol).as("id_a"), F.col(textCol).as("text_a"))
-    val b = capped.select(F.col("band"), F.col("bucket"),
-      F.col(idCol).as("id_b"), F.col(textCol).as("text_b"))
-    a.join(b, Seq("band", "bucket"))
+    val a = capped.select(F.col("band"), F.col("bucket"), F.col(idCol).as("id_a"))
+    val b = capped.select(F.col("band"), F.col("bucket"), F.col(idCol).as("id_b"))
+    // dedupe candidates on ids BEFORE the expensive exact-Jaccard kernel: a
+    // true near-dup pair collides in many bands and would be verified per band
+    val candidates = a.join(b, Seq("band", "bucket"))
       .filter(F.col("id_a") < F.col("id_b"))
-      // dedupe candidates BEFORE the expensive exact-Jaccard kernel: a true
-      // near-dup pair collides in many bands and would be verified per band
-      .select("id_a", "id_b", "text_a", "text_b").distinct()
+      .select("id_a", "id_b").distinct()
+    val ta = base.select(F.col(idCol).as("id_a"), F.col(textCol).as("text_a"))
+    val tb = base.select(F.col(idCol).as("id_b"), F.col(textCol).as("text_b"))
+    candidates
+      .join(ta, "id_a").join(tb, "id_b")
       .select(F.col("id_a"), F.col("id_b"),
         jaccardUdf(F.col("text_a"), F.col("text_b"), F.lit(w)).as("jaccard"))
       .filter(F.col("jaccard") >= threshold)
   }
 
   /** SimHash near-dup pairs: identical 16-bit band ⇒ candidate; verified by
-    * Hamming distance <= maxHamming. */
+    * Hamming distance <= maxHamming.
+    *
+    * Same hot-bucket defense as minhashDupPairs: 16-bit bands give only
+    * 65,536 buckets per band, so a degenerate corpus (many empty/identical
+    * texts, all simhash 0) piles up in one bucket and the self-join goes
+    * quadratic. Buckets are capped at `maxBucket` rows, with the dropped
+    * count published via an observe metric. */
   def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val withSig = withSimhash(df.select(F.col(idCol), F.col(textCol)), textCol)
     val banded = withSig.select(F.col(idCol), F.col("simhash"),
       F.posexplode(F.array((0 until 4).map(i =>
         F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xffffL))): _*))
         .as(Seq("band", "bucket")))
-    val a = banded.select(F.col("band"), F.col("bucket"),
+    val wB = Window.partitionBy("band", "bucket").orderBy(F.col(idCol))
+    val capped = banded.withColumn("__bn", F.row_number().over(wB))
+      .observe("simhash_caps",
+        F.sum((F.col("__bn") > maxBucket).cast("long")).as("capped_rows"))
+      .filter(F.col("__bn") <= maxBucket).drop("__bn")
+    val a = capped.select(F.col("band"), F.col("bucket"),
       F.col(idCol).as("id_a"), F.col("simhash").as("sim_a"))
-    val b = banded.select(F.col("band"), F.col("bucket"),
+    val b = capped.select(F.col("band"), F.col("bucket"),
       F.col(idCol).as("id_b"), F.col("simhash").as("sim_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(F.col("id_a") < F.col("id_b"))

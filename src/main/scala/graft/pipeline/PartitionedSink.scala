@@ -71,7 +71,13 @@ object PartitionedSink {
     val dst = new Path(s"$outDir/_manifests/part-${m.part}.json")
     val out = f.create(tmp, true)
     out.write(json.getBytes("UTF-8")); out.close()
-    f.rename(tmp, dst) // atomic commit of the manifest
+    // the rename IS the commit point: a false return (or an exception)
+    // must fail the job loudly, not drop the commit record silently.
+    // (On HDFS/local this rename is atomic; object stores without atomic
+    // rename need a _manifests location that has it — documented contract.)
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"manifest commit failed: rename($tmp -> $dst) returned false")
   }
 
   /** Write the pipeline output partitioned by conv-hash, skipping
@@ -165,6 +171,14 @@ object PartitionedSink {
                         nParts: Int): Seq[Int] = {
     val committed = committedParts(spark, outDir)
     if (committed.isEmpty) return Seq.empty
+    // mirror write()'s guard: with a different nParts every recomputed
+    // fingerprint would mismatch and this would silently delete ALL
+    // committed partitions of a perfectly valid output
+    committed.values.find(_.nParts != nParts).foreach { m =>
+      throw new IllegalStateException(
+        s"output $outDir was committed with nParts=${m.nParts}, requested $nParts — " +
+          "invalidate with the original nParts or start a fresh output dir")
+    }
     val current = input.withColumn("part", partCol(nParts))
       .groupBy("part").agg(
         F.count(F.lit(1)).as("nRows"),

@@ -199,8 +199,15 @@ object TranscriptPipeline {
       c < 0 || (c == 0 && aTurn <= bTurn)
     }
 
+    // ONE RDD instance for the boundary pass, the partition count, and the
+    // scoring pass: each .rdd call would re-plan the source, and the
+    // boundary map is only valid for the exact split planning it was
+    // computed from — a second materialization with different splits would
+    // mis-seed prevByPid silently.
+    val rdd = turns.rdd
+
     // 1. boundary pass: (pid, firstTurn, lastTurn, sortedWithin)
-    val bounds = turns.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val bounds = rdd.mapPartitionsWithIndex { (pid, it) =>
       var first: Turn = null
       var last: Turn = null
       var sorted = true
@@ -237,7 +244,7 @@ object TranscriptPipeline {
       var carry: Option[Turn] = None
       var carryPid = -1
       val nonEmpty = bounds.map(b => b._1 -> b._3).toMap
-      val maxPid = turns.rdd.getNumPartitions
+      val maxPid = rdd.getNumPartitions
       (0 until maxPid).foreach { pid =>
         carry.foreach { t =>
           m(pid) = (t.conv_id, scorerD.score(t, 0L).scrubbed)
@@ -248,9 +255,9 @@ object TranscriptPipeline {
     }
     val bcPrev = spark.sparkContext.broadcast(prevByPid)
 
-    // 3. fused scoring + repeat detection, shuffle-free
+    // 3. fused scoring + repeat detection, shuffle-free (same RDD instance)
     val nm = langModel; val lmm = lm
-    val decided = turns.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val decided = rdd.mapPartitionsWithIndex { (pid, it) =>
       val scorer = new TurnScorer(nm.value, lmm.value)
       var prevConv: String = null
       var prevScrubbed: String = null

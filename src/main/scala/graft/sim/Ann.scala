@@ -5,12 +5,18 @@ import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over an embedding column (Array[Float]).
   *
-  * Two paths:
+  * Paths:
   *  - bruteForce: exact cosine top-k, one narrow pass + one small topK —
   *    the correctness baseline (and oracle-checkable in SQL)
-  *  - lshTopK: random-hyperplane LSH buckets — the scale path; each probe
-  *    only scans its own bucket(s), so a 10^12-row index is queried
-  *    without a full scan. Hyperplanes are seeded deterministically.
+  *  - lshTopK / ivfTopK over an in-memory DataFrame: the candidate filter
+  *    is a cheap predicate but still a FULL SCAN — fine for a table
+  *    already in cluster memory, not for a 10^12-row index
+  *  - the scale path: materialize the index once with writeLshIndexed /
+  *    writeIvfIndexed (parquet partitioned by bucket / cluster), then
+  *    lshTopKIndexed / ivfTopKIndexed turn the probe into PARTITION
+  *    PRUNING — the scan reads only the probed buckets' files
+  *    (PartitionFilters in the scan node; asserted in AnnSpec).
+  *  Hyperplanes are seeded deterministically.
   */
 object Ann {
 
@@ -67,9 +73,14 @@ object Ann {
     df.withColumn("lsh_bucket", sigUdf(F.col(embCol)))
   }
 
-  /** ANN top-k: scan only rows whose bucket is within `probeHamming` of the
+  /** ANN top-k: keep only rows whose bucket is within `probeHamming` of the
     * query's bucket (multi-probe), rank those by exact cosine. Recall is
-    * tunable via nBits/probeHamming; verified against bruteForce in tests. */
+    * tunable via nBits/probeHamming; verified against bruteForce in tests.
+    *
+    * NOTE: over a plain DataFrame this is a full scan with a cheap
+    * predicate — the cosine work shrinks to the probed buckets, the IO does
+    * not. For a disk-resident index at scale use writeLshIndexed +
+    * lshTopKIndexed, where the same probe prunes partitions. */
   def lshTopK(df: DataFrame, embCol: String, idCol: String,
               q: Array[Float], k: Int, nBits: Int = 12, seed: Long = 42L,
               probeHamming: Int = 1): DataFrame = {
@@ -79,6 +90,32 @@ object Ann {
     val indexed = withLshBucket(df, embCol, nBits, seed, dim)
     val candidates = indexed.filter(
       F.bit_count(F.col("lsh_bucket").bitwiseXOR(F.lit(qSig))) <= probeHamming)
+    bruteForceTopK(candidates, embCol, idCol, q, k)
+  }
+
+  /** Materialize the LSH index: parquet partitioned by `lsh_bucket`, so a
+    * probe's bucket filter becomes partition pruning (only the probed
+    * directories are listed and read). One-time build cost; nBits sizes the
+    * directory fan-out (2^nBits partitions). */
+  def writeLshIndexed(df: DataFrame, embCol: String, path: String,
+                      nBits: Int = 12, seed: Long = 42L, dim: Int = 64): Unit =
+    withLshBucket(df, embCol, nBits, seed, dim)
+      .write.mode("overwrite").partitionBy("lsh_bucket").parquet(path)
+
+  /** Probe a materialized LSH index: enumerate the buckets within
+    * `probeHamming` of the query signature (a driver-side loop over
+    * 2^nBits values — trivial for nBits <= 20) and scan ONLY those
+    * partitions. The scan's PartitionFilters prune everything else. */
+  def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     embCol: String, idCol: String, q: Array[Float], k: Int,
+                     nBits: Int = 12, seed: Long = 42L,
+                     probeHamming: Int = 1): DataFrame = {
+    val planes = hyperplanes(q.length, nBits, seed)
+    val qSig = signature(q, planes)
+    val probed = (0L until (1L << nBits))
+      .filter(b => java.lang.Long.bitCount(b ^ qSig) <= probeHamming)
+    val candidates = spark.read.parquet(path)
+      .filter(F.col("lsh_bucket").isin(probed: _*))
     bruteForceTopK(candidates, embCol, idCol, q, k)
   }
 
@@ -119,7 +156,10 @@ object Ann {
     df.withColumn("ivf_cluster", assignUdf(F.col(embCol)))
   }
 
-  /** IVF top-k: scan only the nProbe clusters nearest to the query. */
+  /** IVF top-k: rank only the nProbe clusters nearest to the query.
+    * Over a plain DataFrame the cluster filter is a full scan with a cheap
+    * predicate; pruning requires the materialized form (writeIvfIndexed +
+    * ivfTopKIndexed). */
   def ivfTopK(indexed: DataFrame, embCol: String, idCol: String,
               index: IvfIndex, q: Array[Float], k: Int, nProbe: Int = 2): DataFrame = {
     val probes = index.nearestCentroids(q.map(_.toDouble), nProbe)
@@ -128,21 +168,55 @@ object Ann {
       embCol, idCol, q, k)
   }
 
+  /** Materialize the IVF index: parquet partitioned by `ivf_cluster`, so
+    * ivfTopKIndexed's probe filter becomes partition pruning (reads
+    * nProbe/k of the files). */
+  def writeIvfIndexed(df: DataFrame, embCol: String, index: IvfIndex, path: String): Unit =
+    ivfAssign(df, embCol, index)
+      .write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
+
+  /** Probe a materialized IVF index: scan only the nProbe nearest
+    * clusters' partitions. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     embCol: String, idCol: String, index: IvfIndex,
+                     q: Array[Float], k: Int, nProbe: Int = 2): DataFrame = {
+    val probes = index.nearestCentroids(q.map(_.toDouble), nProbe)
+    bruteForceTopK(
+      spark.read.parquet(path).filter(F.col("ivf_cluster").isin(probes.toSeq: _*)),
+      embCol, idCol, q, k)
+  }
+
   /** All-pairs near-neighbors above a cosine threshold via LSH buckets
     * (embedding-cosine near-dup detection). Exact cosine verifies each
-    * candidate pair; only same-bucket pairs are compared. */
+    * candidate pair; only same-bucket pairs are compared.
+    *
+    * All math in double (floats promoted before multiply/square, exactly
+    * like cosineTo) so threshold-boundary pairs agree with the brute-force
+    * oracle; zero-norm rows get cosine -1.0 (never NaN). Hot buckets are
+    * capped at `maxBucket` rows with an observe metric — same quadratic
+    * defense as Dedup.minhashDupPairs. */
   def cosineDupPairs(df: DataFrame, embCol: String, idCol: String,
                      threshold: Double, nBits: Int = 10, seed: Long = 42L,
-                     dim: Int = 64): DataFrame = {
+                     dim: Int = 64, maxBucket: Int = 1000): DataFrame = {
     val indexed = withLshBucket(df.select(F.col(idCol), F.col(embCol)), embCol, nBits, seed, dim)
-    val a = indexed.select(F.col("lsh_bucket"), F.col(idCol).as("id_a"), F.col(embCol).as("emb_a"))
-    val b = indexed.select(F.col("lsh_bucket"), F.col(idCol).as("id_b"), F.col(embCol).as("emb_b"))
-    val dot = F.aggregate(F.zip_with(F.col("emb_a"), F.col("emb_b"), (x, y) => x * y),
+    val wB = Window.partitionBy("lsh_bucket").orderBy(F.col(idCol))
+    val capped = indexed.withColumn("__bn", F.row_number().over(wB))
+      .observe("cosine_dup_caps",
+        F.sum((F.col("__bn") > maxBucket).cast("long")).as("capped_rows"))
+      .filter(F.col("__bn") <= maxBucket).drop("__bn")
+    val a = capped.select(F.col("lsh_bucket"), F.col(idCol).as("id_a"), F.col(embCol).as("emb_a"))
+    val b = capped.select(F.col("lsh_bucket"), F.col(idCol).as("id_b"), F.col(embCol).as("emb_b"))
+    def asD(c: Column) = F.transform(c, x => x.cast("double"))
+    val dot = F.aggregate(F.zip_with(asD(F.col("emb_a")), asD(F.col("emb_b")), (x, y) => x * y),
       F.lit(0.0), (acc, x) => acc + x)
-    def norm(c: Column) = F.sqrt(F.aggregate(F.transform(c, x => x * x), F.lit(0.0), (acc, x) => acc + x))
+    def norm(c: Column) = F.sqrt(F.aggregate(F.transform(asD(c), x => x * x), F.lit(0.0), (acc, x) => acc + x))
+    val normA = norm(F.col("emb_a"))
+    val normB = norm(F.col("emb_b"))
     a.join(b, Seq("lsh_bucket"))
       .filter(F.col("id_a") < F.col("id_b"))
-      .select(F.col("id_a"), F.col("id_b"), (dot / (norm(F.col("emb_a")) * norm(F.col("emb_b")))).as("cosine"))
+      .select(F.col("id_a"), F.col("id_b"),
+        F.when(normA === 0.0 || normB === 0.0, F.lit(-1.0))
+          .otherwise(dot / (normA * normB)).as("cosine"))
       .filter(F.col("cosine") >= threshold)
       .distinct()
   }

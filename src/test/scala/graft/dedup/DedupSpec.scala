@@ -53,6 +53,43 @@ class DedupSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(Dedup.simhash(a) ^ Dedup.simhash(c)) > 10)
   }
 
+  test("minhash banded exchange carries ids only — never the text column") {
+    import spark.implicits._
+    val df = base.toDF("id", "text")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // plain physical tree (AQE wraps it in an adaptive root that hides
+      // the exchanges from collect)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val pairs = Dedup.minhashDupPairs(df, "text", "id", w = 3, k = 32,
+        bands = 16, threshold = 0.5)
+      val exchanges = pairs.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      val bandedExchanges = exchanges.filter(_.output.exists(_.name == "bucket"))
+      assert(bandedExchanges.nonEmpty, "expected band/bucket exchanges in the plan")
+      bandedExchanges.foreach { e =>
+        val stringCols = e.output.filter(
+          _.dataType == org.apache.spark.sql.types.StringType).map(_.name)
+        assert(stringCols.isEmpty,
+          s"banded exchange must not shuffle text, found: $stringCols")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("simhash hot-bucket cap bounds the quadratic blowup on degenerate corpora") {
+    import spark.implicits._
+    // 60 identical texts: all four 16-bit bands collide in one bucket
+    val degenerate = (0 until 60).map(i => (i.toLong, "same text every single row here"))
+    val df = degenerate.toDF("id", "text")
+    val capped = Dedup.simhashDupPairs(df, "text", "id", maxHamming = 6, maxBucket = 10)
+    // cap keeps the 10 smallest ids per (band, bucket): at most C(10,2) pairs
+    val n = capped.count()
+    assert(n == 45L, s"expected C(10,2)=45 capped pairs, got $n")
+    val uncapped = Dedup.simhashDupPairs(df, "text", "id", maxHamming = 6, maxBucket = 1000)
+    assert(uncapped.count() == 60L * 59 / 2)
+  }
+
   test("exact dedup keeps exactly one row per fingerprint (min id)") {
     import spark.implicits._
     val df = (base ++ base.map { case (id, t) => (id + 500, t) }).toDF("id", "text")

@@ -266,6 +266,16 @@ class PipelineSpec extends AnyFunSuite {
     // unchanged input -> nothing invalidated
     assert(PartitionedSink.invalidateChanged(spark, small.toDF(), out, nParts).isEmpty)
 
+    // nParts mismatch must be refused loudly (mirror of write()'s guard):
+    // under a different nParts every fingerprint would mismatch and a
+    // silent pass would wipe ALL committed partitions of a valid output
+    val committedBefore = PartitionedSink.committedParts(spark, out).size
+    intercept[IllegalStateException] {
+      PartitionedSink.invalidateChanged(spark, small.toDF(), out, nParts * 2)
+    }
+    assert(PartitionedSink.committedParts(spark, out).size == committedBefore,
+      "refused invalidation must not delete anything")
+
     // changed input (one conv's text mutated) -> exactly its partition is
     // invalidated and recomputed on the next write
     val mutated = small.map(t =>

@@ -63,6 +63,61 @@ class AnnSpec extends AnyFunSuite {
     assert(scanned < rows.size, s"IVF must scan a subset, scanned $scanned/${rows.size}")
   }
 
+  test("materialized LSH index: probe prunes partitions, results match in-memory path") {
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+    Ann.writeLshIndexed(df, "embedding", path, nBits = 8, seed = 3L, dim = dim)
+    val q = vec(1, 777)
+    val fromIndex = Ann.lshTopKIndexed(spark, path, "embedding", "vec_id", q,
+      k = 10, nBits = 8, seed = 3L, probeHamming = 2)
+    val inMemory = Ann.lshTopK(df, "embedding", "vec_id", q, k = 10,
+      nBits = 8, seed = 3L, probeHamming = 2)
+    assert(fromIndex.collect().map(_.getLong(0)).toSeq ==
+      inMemory.collect().map(_.getLong(0)).toSeq)
+    // the probe must reach the scan as a partition filter (directory
+    // pruning), not a post-scan predicate
+    val scans = fromIndex.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "lsh_bucket probe must become PartitionFilters on the scan")
+  }
+
+  test("materialized IVF index: probe prunes partitions, recall holds") {
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "embedding").cache()
+    val index = Ann.ivfFit(df, "embedding", k = 4, seed = 11L)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    Ann.writeIvfIndexed(df, "embedding", index, path)
+    val q = vec(3, 555)
+    val exact = Ann.bruteForceTopK(df, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val fromIndex = Ann.ivfTopKIndexed(spark, path, "embedding", "vec_id",
+      index, q, k = 10, nProbe = 1)
+    val ids = fromIndex.collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(ids).size.toDouble / exact.size >= 0.9)
+    val scans = fromIndex.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "ivf_cluster probe must become PartitionFilters on the scan")
+  }
+
+  test("cosine dup pairs: zero-norm rows rank as -1.0, never NaN") {
+    import spark.implicits._
+    val withZero = rows.take(25) :+ (999L, Array.fill(dim)(0.0f))
+    val df = withZero.toDF("vec_id", "embedding")
+    val all = Ann.cosineDupPairs(df, "embedding", "vec_id",
+      threshold = -2.0, nBits = 1, seed = 4L, dim = dim).collect()
+    val zeroRows = all.filter(r => r.getLong(0) == 999L || r.getLong(1) == 999L)
+    assert(zeroRows.nonEmpty, "zero vector must share the 2-bucket space with someone")
+    assert(zeroRows.forall(r => r.getDouble(2) == -1.0),
+      s"zero-norm pairs must be -1.0, got ${zeroRows.map(_.getDouble(2)).toSeq}")
+    assert(all.forall(r => !r.getDouble(2).isNaN))
+  }
+
   test("cosine near-dup pairs stay within clusters") {
     import spark.implicits._
     val df = rows.take(50).toDF("vec_id", "embedding") // clusters 0 and 1
