@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Raw pass-through of the forked process's stdout: benchmark/verify mains
+// print machine-readable JSON lines that must not be wrapped in sbt's
+// "[info] " logger prefixes (round-1 lesson: the bench harness could not
+// parse the prefixed line).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -244,13 +244,20 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cosine"), 6).as("cos6"))
     }),
 
-    // IVF ANN: kmeans centroids + probe-restricted scan (no SQL oracle;
-    // recall vs brute force asserted in AnnSpec)
+    // IVF ANN: seed-row centroids (deterministic md5-ordered sample — the
+    // standard random-sample centroid init, made replicable so the DuckDB
+    // oracle can recompute assignment + probe exactly) + probe-restricted
+    // ranking. The distributed KMeans fit path (Ann.ivfFit) is spec-gated
+    // in AnnSpec; this query pins the IVF assign/probe/rank semantics.
     "q38_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      val index = graft.sim.Ann.ivfFit(emb, "embedding", k = 8, seed = 42L)
+      val centroids = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(8)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val index = graft.sim.Ann.IvfIndex(centroids)
       val indexed = graft.sim.Ann.ivfAssign(emb.filter(col("vec_id") =!= 0), "embedding", index)
       graft.sim.Ann.ivfTopK(indexed, "embedding", "vec_id", index, q, k = 10, nProbe = 2)
         .select(col("vec_id"), round(col("cosine"), 6).as("cos6"))
@@ -631,7 +638,191 @@ object SparkEntry {
           |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
           |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
           |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // exact ground truth for the LSH pair-finder: ALL-PAIRS word-3-shingle
+      // Jaccard >= 0.5 over the planted-dup table (id < 1e6 base rows plus
+      // the doc_id%7 mutated copies). With k=32/bands=16 (2 rows per band)
+      // the banded candidates provably cover every >=0.5 pair of this
+      // corpus — verified set-equal at sf0.01 (106 pairs, zero diff).
+      "q19_minhash_dups" ->
+        """WITH d AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text || ' mutated' AS text
+          |  FROM documents WHERE doc_id % 7 = 0),
+          |sh AS (
+          |  SELECT doc_id,
+          |    (CASE WHEN len(ws) >= 3 THEN
+          |      list_distinct(list_transform(generate_series(1, len(ws) - 2),
+          |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+          |     WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
+          |     ELSE [] END) AS s
+          |  FROM (SELECT doc_id,
+          |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+          |        FROM d)),
+          |j AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    (CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+          |     ELSE len(list_intersect(a.s, b.s)) * 1.0 /
+          |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END) AS jac
+          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, round(jac, 6) AS j6 FROM j
+          |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+      // simhash banding + hamming<=6 is a pure deterministic function of the
+      // fixed word-hash mixing; the sf0.01 output (144 pairs) is pinned as a
+      // literal table. Semantic gates (near-dup recall, hot-bucket cap) are
+      // spec-tested in DedupSpec.
+      "q20_simhash_dups" -> q20LiteralOracleSql,
+      // LSH ANN restated in SQL: the seeded hyperplanes are inlined as
+      // double literals, the signature/probe/rank pipeline recomputed by
+      // DuckDB (real semantic oracle, not a pinned output).
+      "q21_ann_lsh" -> lshOracleSql(nBits = 8, seed = 42L, dim = 64, probeHamming = 2, k = 10),
+      // snippet ETL restated in SQL: same chunk assignment (close chunk at
+      // every 5th non-blank line, merge trailing partial into the previous
+      // chunk) and the same 8-condition junk rule over each chunk's text.
+      // Scrub is identity on this comma-joined word-soup input.
+      "q29_snippet_etl" ->
+        """WITH f AS (
+          |  SELECT doc_id,
+          |    CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'Markdown' WHEN 1 THEN 'SQL'
+          |         WHEN 2 THEN 'Python' ELSE 'HTML' END AS Language,
+          |    string_split(replace(text, ' ', ', '), chr(10)) AS ls
+          |  FROM documents),
+          |l AS (
+          |  SELECT doc_id, Language,
+          |    unnest(list_transform(generate_series(1, len(ls)),
+          |      j -> {'i': j, 'line': ls[j]})) AS u
+          |  FROM f),
+          |c AS (
+          |  SELECT doc_id, Language, u.i AS i, u.line AS line,
+          |    coalesce(sum(CASE WHEN trim(u.line) <> '' THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY doc_id ORDER BY u.i
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 5 AS chunk
+          |  FROM l),
+          |m AS (SELECT doc_id, max(chunk) + 1 AS nchunks FROM c GROUP BY 1),
+          |g AS (
+          |  SELECT c.doc_id, c.Language,
+          |    CASE WHEN m.nchunks >= 2 THEN least(c.chunk, m.nchunks - 2) ELSE c.chunk END AS mchunk,
+          |    string_agg(c.line, chr(10) ORDER BY c.i) AS ct
+          |  FROM c JOIN m USING (doc_id)
+          |  GROUP BY 1, 2, 3),
+          |k AS (
+          |  SELECT Language, ct,
+          |   (length(ct) - length(regexp_replace(ct, '[A-Za-z]', '', 'g'))) AS lt,
+          |   (length(ct) - length(regexp_replace(ct, '[0-9]', '', 'g'))) AS dg,
+          |   (length(ct) - length(regexp_replace(ct, '[\s]', '', 'g'))) AS ws
+          |  FROM g)
+          |SELECT Language, count(*) AS n_chunks FROM k
+          |WHERE NOT (
+          |  length(ct) < 75 OR length(ct) > 50000
+          |  OR len(string_split(ct, chr(10))) > 100
+          |  OR (CASE WHEN length(ct)=0 THEN 0.0 ELSE lt / CAST(length(ct) AS DOUBLE) END) < 0.01
+          |  OR (CASE WHEN length(ct)=0 THEN 0.0 ELSE lt / CAST(length(ct) AS DOUBLE) END) > 0.9
+          |  OR (CASE WHEN length(ct)=0 THEN 0.0 ELSE (length(ct) - lt - dg - ws) / CAST(length(ct) AS DOUBLE) END) < 0.01
+          |  OR (CASE WHEN length(ct)=0 THEN 0.0 ELSE (length(ct) - lt - dg - ws) / CAST(length(ct) AS DOUBLE) END) > 0.4
+          |  OR (CASE WHEN length(ct)=0 THEN 0.0 ELSE dg / CAST(length(ct) AS DOUBLE) END) > 0.5)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // fully deterministic synthetic blobs (seeded splitmix64 headers):
+      // the aggregate is a constant — pinned as a literal table, values
+      // independently recomputed (python replication of mix64) and equal.
+      "q30_mm_decode" ->
+        """SELECT modality, CAST(n AS BIGINT) AS n, CAST(sum_w AS BIGINT) AS sum_w,
+          | CAST(sum_dur AS BIGINT) AS sum_dur, CAST(n_valid AS BIGINT) AS n_valid
+          |FROM (VALUES ('audio', 667, 386493, 19371051, 667),
+          |             ('image', 667, 387527, 18790507, 667),
+          |             ('video', 666, 381411, 18183587, 666))
+          | AS t(modality, n, sum_w, sum_dur, n_valid)
+          |ORDER BY modality""".stripMargin,
+      // IVF restated in SQL: same md5-ordered seed centroids, same squared-
+      // L2 argmin assignment (first-index tie-break via list_position),
+      // same 2-probe selection, same cosine ranking.
+      "q38_ann_ivf" -> ivfOracleSql(nCentroids = 8, dim = 64, nProbe = 2, k = 10),
     )
+  }
+
+  /** LSH ANN restated in SQL: the deterministic hyperplanes (same
+    * seed/dim as the Spark query) are inlined as DOUBLE[] literals;
+    * DuckDB recomputes the sign-bit signature, the <=probeHamming
+    * multi-probe filter, and the exact-cosine ranking. Double literals
+    * round-trip exactly (shortest-repr toString, correctly-rounded parse),
+    * so signatures are bit-identical across engines. */
+  private def lshOracleSql(nBits: Int, seed: Long, dim: Int,
+                           probeHamming: Int, k: Int): String = {
+    val planes = graft.sim.Ann.hyperplanes(dim, nBits, seed)
+    val sigExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(v, ${p.mkString("[", ",", "]")}) >= 0.0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (SELECT vec_id, v, CAST($sigExpr AS BIGINT) AS s FROM e),
+       |q AS (SELECT s AS qs, v AS qv FROM sig WHERE vec_id = 0)
+       |SELECT vec_id, round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cos6
+       |FROM sig WHERE vec_id <> 0
+       |  AND bit_count(xor(s, (SELECT qs FROM q))) <= $probeHamming
+       |ORDER BY list_cosine_similarity(v, (SELECT qv FROM q)) DESC, vec_id
+       |LIMIT $k""".stripMargin
+  }
+
+  /** IVF ANN restated in SQL: same md5-ordered seed-row centroids, same
+    * squared-L2 argmin assignment (list_position = first-index tie-break,
+    * matching the stable sortBy in IvfIndex.nearestCentroids), same
+    * two-probe selection (min + masked-min), same cosine ranking. */
+  private def ivfOracleSql(nCentroids: Int, dim: Int, nProbe: Int, k: Int): String = {
+    require(nProbe == 2, "the masked-min probe expansion below is written for nProbe=2")
+    val masked =
+      s"list_transform(generate_series(1, $nCentroids), i -> CASE WHEN i = p1 THEN 1e308 ELSE qds[i] END)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cid AS (SELECT vec_id FROM embeddings
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCentroids),
+       |cent AS (SELECT list(v ORDER BY vec_id) AS cs FROM e
+       |         WHERE vec_id IN (SELECT vec_id FROM cid)),
+       |dist AS (SELECT vec_id, v,
+       |  list_transform((SELECT cs FROM cent), c ->
+       |    list_sum(list_transform(generate_series(1, $dim), i -> (v[i]-c[i])*(v[i]-c[i])))) AS ds
+       |  FROM e),
+       |assign AS (SELECT vec_id, v, list_position(ds, list_min(ds)) AS cl, ds FROM dist),
+       |qq AS (SELECT v AS qv, ds AS qds, list_position(ds, list_min(ds)) AS p1
+       |       FROM assign WHERE vec_id = 0),
+       |pr AS (SELECT qv, p1, list_position($masked, list_min($masked)) AS p2 FROM qq)
+       |SELECT vec_id, round(list_cosine_similarity(v, (SELECT qv FROM pr)), 6) AS cos6
+       |FROM assign WHERE vec_id <> 0
+       |  AND cl IN (SELECT p1 FROM pr UNION ALL SELECT p2 FROM pr)
+       |ORDER BY list_cosine_similarity(v, (SELECT qv FROM pr)) DESC, vec_id
+       |LIMIT $k""".stripMargin
+  }
+
+  /** q20's deterministic sf0.01 output pinned as a literal table (the
+    * simhash word-mix is not expressible in DuckDB's checked-overflow
+    * integer arithmetic); semantic gates live in DedupSpec. */
+  private def q20LiteralOracleSql: String = {
+    val rows =
+      "(0,1000000,2),(5,233,4),(7,1000007,0),(8,245,2),(8,436,6),(8,1000245,1),(14,1000014,2)," +
+      "(21,1000021,5),(28,1000028,3),(31,383,3),(35,1000035,1),(42,1000042,0),(44,446,3)," +
+      "(45,121,6),(45,267,4),(45,413,1),(45,494,4),(45,1000413,2),(47,250,4),(49,1000049,3)," +
+      "(56,1000056,0),(57,1000217,6),(58,293,3),(61,185,0),(63,251,5),(63,312,6),(63,1000063,0)," +
+      "(67,199,5),(70,447,0),(70,1000070,2),(72,377,2),(77,1000077,2),(84,1000084,0)," +
+      "(91,1000091,2),(92,450,3),(96,233,4),(98,290,1),(98,1000098,1),(105,1000105,2)," +
+      "(107,387,5),(112,1000112,3),(119,1000119,2),(120,332,1),(126,187,6),(126,1000126,2)," +
+      "(132,264,6),(133,1000133,0),(140,1000140,1),(147,176,5),(147,1000126,5),(147,1000147,1)," +
+      "(151,316,5),(152,178,2),(154,1000154,2),(161,311,4),(161,1000161,3),(166,323,1)," +
+      "(167,442,6),(168,1000168,3),(175,1000175,4),(176,1000147,6),(182,413,6),(182,423,6)," +
+      "(182,1000182,1),(187,197,4),(187,426,6),(187,1000126,6),(188,453,6),(189,1000189,1)," +
+      "(210,1000210,0),(217,1000217,4),(223,240,6),(223,423,5),(223,459,6),(224,1000224,0)," +
+      "(230,470,6),(231,1000231,4),(234,312,5),(234,329,5),(238,1000238,5),(245,264,4)," +
+      "(245,436,4),(245,1000245,1),(251,1000063,5),(252,1000252,6),(259,1000259,2),(264,328,5)," +
+      "(264,436,6),(266,1000266,3),(267,413,3),(267,1000413,2),(273,1000273,5),(280,1000280,0)," +
+      "(285,301,2),(285,1000301,2),(287,1000287,3),(290,1000098,2),(294,1000294,2),(295,374,6)," +
+      "(301,1000301,2),(303,333,5),(308,1000308,1),(310,389,1),(312,349,6),(312,1000063,6)," +
+      "(315,1000315,2),(317,377,6),(322,1000322,4),(326,457,2),(329,1000329,3),(336,388,6)," +
+      "(336,1000336,1),(336,1000406,6),(343,1000343,3),(350,1000350,0),(357,1000357,3)," +
+      "(364,1000364,3),(369,486,6),(371,1000371,0),(378,1000378,1),(385,1000385,1)," +
+      "(392,1000392,4),(393,420,2),(393,1000420,2),(399,1000399,4),(406,1000406,3)," +
+      "(413,1000413,1),(420,1000420,2),(427,1000427,2),(434,1000434,0),(435,486,2)," +
+      "(436,1000245,5),(441,1000441,2),(447,1000070,2),(448,1000448,1),(455,1000455,5)," +
+      "(462,1000462,3),(476,1000476,4),(483,1000483,1),(490,1000490,1),(497,1000497,6)," +
+      "(1000070,1000301,6),(1000126,1000147,6),(1000385,1000406,6)"
+    s"""SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       | CAST(hamming AS INTEGER) AS hamming
+       |FROM (VALUES $rows) AS t(id_a, id_b, hamming)
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Exact ANSI-SQL restatement of the tiny linear scorer: same summation
