@@ -424,6 +424,40 @@ object SparkEntry {
         (sum(length(col("text"))) / count(lit(1))).as("mean_len"),
         sum(tokenCount(col("text"))).as("total_tokens"))),
 
+    // X1 at REFERENCE scale: the full 696-token / 32-class substring model
+    // (reference feature corpus, ReferenceFeatures.fullModel). One
+    // broadcast Aho–Corasick pass per row extracts all 696 presence bits;
+    // the linear scorer's exact-dyadic weights make the prediction
+    // SQL-replicable at full size (no subset shortcuts).
+    "q39_full_model" -> ((s, dir) => {
+      val bc = s.sparkContext.broadcast(
+        new graft.score.Scorer(graft.model.ReferenceFeatures.fullModel))
+      val predUdf = udf { (text: String) =>
+        val sc = bc.value
+        val bits = sc.extractBits(text)
+        var n = 0; var i = 0
+        while (i < bits.length) { if (bits(i)) n += 1; i += 1 }
+        (sc.model.classes(sc.argmax(sc.logits(bits))), n)
+      }
+      t(s, dir, "documents")
+        .withColumn("p", predUdf(col("text")))
+        .select(col("doc_id"), col("p._1").as("pred"), col("p._2").as("n_feats"))
+        .orderBy("doc_id")
+    }),
+
+    // the engine's PRIMARY langid (char-n-gram NB) under the driver gate:
+    // deterministic fixture model (literal weights), per-doc argmax,
+    // aggregated per predicted class. Oracle = literal pin (the mix64
+    // bucket hash has no DuckDB restatement); per-row semantic parity vs a
+    // naive recount is spec-gated in NGramFixtureSpec.
+    "q40_ngram_langid" -> ((s, dir) => {
+      val bc = s.sparkContext.broadcast(graft.langid.NGramLangId.tinyFixture)
+      val predUdf = udf((text: String) => bc.value.predict(text))
+      t(s, dir, "documents")
+        .groupBy(predUdf(col("text")).as("pred")).agg(count(lit(1)).as("n"))
+        .orderBy("pred")
+    }),
+
     // multimodal binary columns: synth -> decode stub -> typed metadata agg
     "q30_mm_decode" -> ((s, dir) => {
       val blobs = graft.mm.Multimodal.synth(s, 2000)
@@ -736,7 +770,46 @@ object SparkEntry {
       // L2 argmin assignment (first-index tie-break via list_position),
       // same 2-probe selection, same cosine ranking.
       "q38_ann_ivf" -> ivfOracleSql(nCentroids = 8, dim = 64, nProbe = 2, k = 10),
+      // the FULL 696-token model restated in SQL (~2000 contains() terms,
+      // generated): logit_c = 2.125*hits_c - 0.125*total_hits exactly (all
+      // dyadic), argmax with first-class-wins ties like Scorer.argmax.
+      "q39_full_model" -> fullModelOracleSql,
+      // deterministic n-gram-langid aggregate pinned as a literal (values
+      // independently recomputed in python incl. float32 accumulation
+      // order); per-row parity is spec-gated in NGramFixtureSpec.
+      "q40_ngram_langid" ->
+        """SELECT pred, CAST(n AS BIGINT) AS n
+          |FROM (VALUES ('alpha', 233), ('beta', 267)) AS t(pred, n)
+          |ORDER BY pred""".stripMargin,
     )
+  }
+
+  /** SQL restatement of ReferenceFeatures.fullModel scoring. Exact because
+    * every logit is a dyadic rational (see ReferenceFeatures.fullModel):
+    * 2.0*h_c - 0.125*(H - h_c) == 2.125*h_c - 0.125*H with h_c = hits in
+    * class c's token list, H = total distinct-feature hits. */
+  private def fullModelOracleSql: String = {
+    val rf = graft.model.ReferenceFeatures
+    def esc(s: String) = s.replace("'", "''")
+    // flat list literal + list_filter, NOT a 696-term "+" chain: DuckDB's
+    // binder recurses per binary op and caps at depth 128
+    def hits(toks: Array[String]) =
+      s"CAST(len(list_filter([${toks.map(t => s"'${esc(t)}'").mkString(",")}], t -> contains(text, t))) AS INTEGER)"
+    val nf = hits(rf.tokens)
+    val n = rf.langs.length
+    val hitCols = rf.langs.zipWithIndex.map { case (lang, i) =>
+      s"${hits(rf.byLang(lang).distinct)} AS h$i"
+    }.mkString(", ")
+    val scoreCols = (0 until n)
+      .map(i => s"(2.125 * h$i - 0.125 * n_feats) AS s$i").mkString(", ")
+    val argmax = (0 until n).map { i =>
+      if (i == n - 1) s"ELSE '${rf.langs(i)}'"
+      else s"WHEN ${((i + 1) until n).map(j => s"s$i >= s$j").mkString(" AND ")} THEN '${rf.langs(i)}'"
+    }.mkString(" ")
+    s"""WITH b AS (SELECT doc_id, $nf AS n_feats, $hitCols FROM documents),
+       |sc AS (SELECT doc_id, n_feats, $scoreCols FROM b)
+       |SELECT doc_id, CASE $argmax END AS pred, n_feats
+       |FROM sc ORDER BY doc_id""".stripMargin
   }
 
   /** LSH ANN restated in SQL: the deterministic hyperplanes (same

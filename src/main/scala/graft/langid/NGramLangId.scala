@@ -110,6 +110,25 @@ final case class NGramModel(
 
 object NGramLangId {
 
+  /** Deterministic 2-class / 16-bucket fixture model (literal weights, no
+    * training) for driver-gate queries: the scoring path (rolling hash →
+    * mix64 bucket → transposed-table accumulate → argmax) is a pure
+    * function of the text, so its outputs can be pinned by a literal
+    * oracle. The hash math itself is not expressible in DuckDB's
+    * checked-overflow integer arithmetic (two wrapping 64-bit multiplies
+    * per mix64); per-row parity vs a naive recount is spec-gated in
+    * NGramFixtureSpec. */
+  lazy val tinyFixture: NGramModel = {
+    val nb = 16
+    val classes = Array("alpha", "beta")
+    val nc = classes.length
+    val logProbT = Array.tabulate(nb * nc) { i =>
+      (-1.0 - (graft.dedup.Dedup.mix64(i.toLong) & 7L) * 0.25).toFloat
+    }
+    NGramModel(classes, nb, nMin = 2, nMax = 3,
+      Array(math.log(0.5), math.log(0.5)), logProbT)
+  }
+
   /** 31-based rolling hash of the n-gram, mixed and bucketed. numBuckets
     * must be a power of two: the mask replaces a 64-bit modulo that costs
     * ~30 cycles per n-gram (mix64 makes the low bits uniform). */
