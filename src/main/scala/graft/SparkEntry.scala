@@ -445,6 +445,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X2+X4: legacy named-feature battery (predict_language.js families):
+    // word-boundary features via the broadcast matcher (matchWordBits),
+    // the import-shape multiline regexes, a combined feature
+    // (HasFromImport = word(from) AND word(import), js:166), and line
+    // predicates — over deterministically structure-injected text so both
+    // branches of every predicate occur.
+    "q41_named_features" -> ((s, dir) => {
+      import graft.functions.StructuralPredicates._
+      val words = Array("table", "scan", "from", "import", "the")
+      val bc = s.sparkContext.broadcast(graft.text.TokenMatcher(words))
+      val wordBits = udf((text: String) => bc.value.matchWordBits(text))
+      val injected =
+        when(col("doc_id") % 5 === 0, concat(lit("from pkg import thing\n"), col("text")))
+          .when(col("doc_id") % 5 === 1, concat(lit("import * as ns\n"), col("text")))
+          .when(col("doc_id") % 5 === 2, concat(lit("    indented: # c\n"), col("text")))
+          .when(col("doc_id") % 5 === 3, concat(lit("import 'mod'\n"), col("text")))
+          .otherwise(col("text"))
+      t(s, dir, "documents")
+        .withColumn("t2", injected)
+        .withColumn("wb", wordBits(col("t2")))
+        .select(
+          col("doc_id"),
+          col("wb").getItem(0).as("w_table"),
+          col("wb").getItem(1).as("w_scan"),
+          (col("wb").getItem(2) && col("wb").getItem(3)).as("has_from_import"),
+          hasFromImportOrderCol(col("t2")).as("re_from_import"),
+          hasImportStarAsCol(col("t2")).as("re_import_star_as"),
+          hasImportQuoteLineCol(col("t2")).as("re_import_quote"),
+          hasIndentColonsCol(col("t2")).as("indent_colon"),
+          hasLeadingIndentCol(col("t2"), 4).as("indent4"))
+        .orderBy("doc_id")
+    }),
+
     // the engine's PRIMARY langid (char-n-gram NB) under the driver gate:
     // deterministic fixture model (literal weights), per-doc argmax,
     // aggregated per predicted class. Oracle = literal pin (the mix64
@@ -781,6 +814,36 @@ object SparkEntry {
         """SELECT pred, CAST(n AS BIGINT) AS n
           |FROM (VALUES ('alpha', 233), ('beta', 267)) AS t(pred, n)
           |ORDER BY pred""".stripMargin,
+      // named-feature battery: word-boundary features as leftmost-scan
+      // regexes (equivalent to hasWordIn's any-unflanked-occurrence loop),
+      // import regexes with RE2's 'm' flag, line predicates as
+      // list_filter over split lines.
+      "q41_named_features" -> {
+        def w(word: String) =
+          s"regexp_matches(t2, '(^|[^A-Za-z0-9_])$word([^A-Za-z0-9_]|$$)')"
+        s"""WITH f AS (
+           |  SELECT doc_id,
+           |    CASE CAST(doc_id % 5 AS INTEGER)
+           |      WHEN 0 THEN 'from pkg import thing' || chr(10) || text
+           |      WHEN 1 THEN 'import * as ns' || chr(10) || text
+           |      WHEN 2 THEN '    indented: # c' || chr(10) || text
+           |      WHEN 3 THEN 'import ''mod''' || chr(10) || text
+           |      ELSE text END AS t2
+           |  FROM documents)
+           |SELECT doc_id,
+           |  ${w("table")} AS w_table,
+           |  ${w("scan")} AS w_scan,
+           |  (${w("from")} AND ${w("import")}) AS has_from_import,
+           |  regexp_matches(t2, '^\\s*from\\s+\\S+\\s+import\\b', 'm') AS re_from_import,
+           |  regexp_matches(t2, '^\\s*import\\s+\\*\\s+as\\s+', 'm') AS re_import_star_as,
+           |  regexp_matches(t2, '^\\s*import\\s+[''"]', 'm') AS re_import_quote,
+           |  len(list_filter(string_split(t2, chr(10)),
+           |    x -> length(rtrim(split_part(x, '#', 1))) > 0
+           |         AND ends_with(rtrim(split_part(x, '#', 1)), ':'))) > 0 AS indent_colon,
+           |  len(list_filter(string_split(t2, chr(10)),
+           |    x -> trim(x) <> '' AND starts_with(x, '    '))) > 0 AS indent4
+           |FROM f ORDER BY doc_id""".stripMargin
+      },
     )
   }
 

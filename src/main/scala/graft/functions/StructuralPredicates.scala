@@ -94,6 +94,26 @@ object StructuralPredicates {
     false
   }
 
+  // ---------- import-shape regex family (predict_language.js:167-171) ----------
+  // JS multiline regexes re-expressed once here; Java regex and RE2
+  // (DuckDB) agree on these constructs (\s \S \b, non-dotall '.').
+
+  final val FromImportOrderRe = """^\s*from\s+\S+\s+import\b"""
+  final val ImportFromOrderRe = """^\s*import\b.+\bfrom\s+['"]"""
+  final val ImportAsRe = """^\s*(from\s+\S+\s+import|import)\s+.+\s+as\s+"""
+  final val ImportStarAsRe = """^\s*import\s+\*\s+as\s+"""
+  final val ImportQuoteLineRe = """^\s*import\s+['"]"""
+
+  private def multiline(text: String, re: String): Boolean =
+    java.util.regex.Pattern.compile(re, java.util.regex.Pattern.MULTILINE)
+      .matcher(text).find()
+
+  def hasFromImportOrder(text: String): Boolean = multiline(text, FromImportOrderRe)
+  def hasImportFromOrder(text: String): Boolean = multiline(text, ImportFromOrderRe)
+  def hasImportAs(text: String): Boolean = multiline(text, ImportAsRe)
+  def hasImportStarAs(text: String): Boolean = multiline(text, ImportStarAsRe)
+  def hasImportQuoteLine(text: String): Boolean = multiline(text, ImportQuoteLineRe)
+
   // ---------- Column expressions (SQL-facing, codegen'd) ----------
 
   private def linesOf(text: Column): Column = split(text, "\n", -1)
@@ -118,4 +138,10 @@ object StructuralPredicates {
 
   def hasPythonFStringCol(text: Column): Column =
     text.rlike("""(?:^|[^A-Za-z0-9_])f['"]""")
+
+  def hasFromImportOrderCol(text: Column): Column = text.rlike("(?m)" + FromImportOrderRe)
+  def hasImportFromOrderCol(text: Column): Column = text.rlike("(?m)" + ImportFromOrderRe)
+  def hasImportAsCol(text: Column): Column = text.rlike("(?m)" + ImportAsRe)
+  def hasImportStarAsCol(text: Column): Column = text.rlike("(?m)" + ImportStarAsRe)
+  def hasImportQuoteLineCol(text: Column): Column = text.rlike("(?m)" + ImportQuoteLineRe)
 }
