@@ -263,6 +263,16 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cosine"), 6).as("cos6"))
     }),
 
+    // embedding-cosine near-dup pairs: LSH-bucketed candidates (seeded
+    // hyperplanes), exact double-cosine verify, hot-bucket cap. Oracle
+    // replicates the bucket assignment with plane literals (q21 technique)
+    // and the cosine in the same double expression shape.
+    "q42_cosine_dups" -> ((s, dir) =>
+      graft.sim.Ann.cosineDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id",
+          threshold = 0.2, nBits = 4, seed = 42L, dim = 64)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cos6"))
+        .orderBy("id_a", "id_b")),
+
     // A9 deterministic stratified sample (md5 bucket)
     "q22_det_sample" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -814,6 +824,22 @@ object SparkEntry {
         """SELECT pred, CAST(n AS BIGINT) AS n
           |FROM (VALUES ('alpha', 233), ('beta', 267)) AS t(pred, n)
           |ORDER BY pred""".stripMargin,
+      // cosine dup pairs: same plane-literal signature join + the cosine
+      // in the same double expression shape (dot / (normA * normB)).
+      "q42_cosine_dups" -> {
+        val sigExpr = sigExprSql(nBits = 4, seed = 42L, dim = 64)
+        val cos =
+          """(CASE WHEN list_inner_product(a.v, a.v) = 0.0 OR list_inner_product(b.v, b.v) = 0.0
+            |  THEN -1.0
+            |  ELSE list_inner_product(a.v, b.v) /
+            |       (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) END)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |sig AS (SELECT vec_id, v, CAST($sigExpr AS BIGINT) AS s FROM e)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 6) AS cos6
+           |FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+           |WHERE $cos >= 0.2
+           |ORDER BY id_a, id_b""".stripMargin
+      },
       // named-feature battery: word-boundary features as leftmost-scan
       // regexes (equivalent to hasWordIn's any-unflanked-occurrence loop),
       // import regexes with RE2's 'm' flag, line predicates as
@@ -881,12 +907,18 @@ object SparkEntry {
     * multi-probe filter, and the exact-cosine ranking. Double literals
     * round-trip exactly (shortest-repr toString, correctly-rounded parse),
     * so signatures are bit-identical across engines. */
-  private def lshOracleSql(nBits: Int, seed: Long, dim: Int,
-                           probeHamming: Int, k: Int): String = {
+  /** Sign-bit signature of column `v` under the seeded hyperplanes,
+    * inlined as DOUBLE[] literals (round-trip exact). */
+  private def sigExprSql(nBits: Int, seed: Long, dim: Int): String = {
     val planes = graft.sim.Ann.hyperplanes(dim, nBits, seed)
-    val sigExpr = planes.zipWithIndex.map { case (p, i) =>
+    planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_inner_product(v, ${p.mkString("[", ",", "]")}) >= 0.0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
+  }
+
+  private def lshOracleSql(nBits: Int, seed: Long, dim: Int,
+                           probeHamming: Int, k: Int): String = {
+    val sigExpr = sigExprSql(nBits, seed, dim)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sig AS (SELECT vec_id, v, CAST($sigExpr AS BIGINT) AS s FROM e),
        |q AS (SELECT s AS qs, v AS qv FROM sig WHERE vec_id = 0)

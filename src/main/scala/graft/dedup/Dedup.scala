@@ -56,10 +56,9 @@ object Dedup {
     }
   }
 
-  /** MinHash signature: k independent permutations approximated by
-    * mix64(shingle ^ seed_i); min over shingles per i. */
-  def minhashSignature(text: String, w: Int, k: Int): Array[Long] = {
-    val shingles = shingleHashes(text, w)
+  /** MinHash from precomputed shingle hashes: k independent permutations
+    * approximated by mix64(shingle ^ seed_i); min over shingles per i. */
+  def minhashFromShingles(shingles: Array[Long], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     var si = 0
     while (si < shingles.length) {
@@ -73,6 +72,29 @@ object Dedup {
       si += 1
     }
     sig
+  }
+
+  /** MinHash signature of the text (shingle + hash in one call). */
+  def minhashSignature(text: String, w: Int, k: Int): Array[Long] =
+    minhashFromShingles(shingleHashes(text, w), k)
+
+  /** Exact Jaccard of two precomputed shingle-hash arrays (set semantics —
+    * identical to jaccard(), which hashes the same way). */
+  def jaccardOfHashes(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val sa = new java.util.HashSet[Long]()
+    var i = 0
+    while (i < a.length) { sa.add(a(i)); i += 1 }
+    val sb = new java.util.HashSet[Long]()
+    var inter = 0
+    i = 0
+    while (i < b.length) {
+      val h = b(i)
+      if (sb.add(h) && sa.contains(h)) inter += 1
+      i += 1
+    }
+    val union = sa.size + sb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
   }
 
   /** 64-bit SimHash over word unigram hashes. */
@@ -97,14 +119,8 @@ object Dedup {
   }
 
   /** Exact Jaccard similarity of word w-shingle sets. */
-  def jaccard(a: String, b: String, w: Int): Double = {
-    val sa = shingleHashes(a, w).toSet
-    val sb = shingleHashes(b, w).toSet
-    if (sa.isEmpty && sb.isEmpty) return 1.0
-    val inter = sa.intersect(sb).size
-    val union = sa.size + sb.size - inter
-    if (union == 0) 1.0 else inter.toDouble / union
-  }
+  def jaccard(a: String, b: String, w: Int): Double =
+    jaccardOfHashes(shingleHashes(a, w), shingleHashes(b, w))
 
   // ---- DataFrame operators ----
 
@@ -123,7 +139,11 @@ object Dedup {
   private val minhashUdf =
     F.udf((text: String, w: Int, k: Int) => minhashSignature(text, w, k))
   private val simhashUdf = F.udf((text: String) => simhash(text))
-  private val jaccardUdf = F.udf((a: String, b: String, w: Int) => jaccard(a, b, w))
+  private val shinglesUdf = F.udf((text: String, w: Int) => shingleHashes(text, w))
+  private val minhashOfShinglesUdf =
+    F.udf((sh: Array[Long], k: Int) => minhashFromShingles(sh, k))
+  private val jaccardHashesUdf =
+    F.udf((a: Array[Long], b: Array[Long]) => jaccardOfHashes(a, b))
 
   def withMinhash(df: DataFrame, textCol: String, w: Int = 3, k: Int = 32): DataFrame =
     df.withColumn("minhash", minhashUdf(F.col(textCol), F.lit(w), F.lit(k)))
@@ -149,13 +169,21 @@ object Dedup {
                       w: Int = 3, k: Int = 32, bands: Int = 8,
                       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = k / bands
-    val base = df.select(F.col(idCol), F.col(textCol))
-    val banded = withMinhash(base, textCol, w, k).select(
-      F.col(idCol),
-      F.posexplode(
-        F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>
-          F.xxhash64(F.slice(F.col("minhash"), b * rowsPerBand + 1, F.lit(rowsPerBand))))
-      ).as(Seq("band", "bucket")))
+    // shingle-hash each text ONCE; the signature, the banding, and the
+    // exact-Jaccard verify all work from the hash array. The verify kernel
+    // never re-tokenizes text — at high-recall band settings candidate
+    // pairs outnumber rows, and per-pair string re-shingling dominated the
+    // whole operator before this.
+    val withSh = df.select(F.col(idCol),
+      shinglesUdf(F.col(textCol), F.lit(w)).as("__sh"))
+    val banded = withSh
+      .withColumn("minhash", minhashOfShinglesUdf(F.col("__sh"), F.lit(k)))
+      .select(
+        F.col(idCol),
+        F.posexplode(
+          F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>
+            F.xxhash64(F.slice(F.col("minhash"), b * rowsPerBand + 1, F.lit(rowsPerBand))))
+        ).as(Seq("band", "bucket")))
     // cap pathological buckets — NOT silently: the dropped-row count is
     // published through an observe metric ("minhash_caps"/"capped_rows")
     // so a capped run is visible in job metrics
@@ -166,17 +194,17 @@ object Dedup {
       .filter(F.col("__bn") <= maxBucket).drop("__bn")
     val a = capped.select(F.col("band"), F.col("bucket"), F.col(idCol).as("id_a"))
     val b = capped.select(F.col("band"), F.col("bucket"), F.col(idCol).as("id_b"))
-    // dedupe candidates on ids BEFORE the expensive exact-Jaccard kernel: a
-    // true near-dup pair collides in many bands and would be verified per band
+    // dedupe candidates on ids BEFORE the exact-Jaccard kernel: a true
+    // near-dup pair collides in many bands and would be verified per band
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(F.col("id_a") < F.col("id_b"))
       .select("id_a", "id_b").distinct()
-    val ta = base.select(F.col(idCol).as("id_a"), F.col(textCol).as("text_a"))
-    val tb = base.select(F.col(idCol).as("id_b"), F.col(textCol).as("text_b"))
+    val ta = withSh.select(F.col(idCol).as("id_a"), F.col("__sh").as("sh_a"))
+    val tb = withSh.select(F.col(idCol).as("id_b"), F.col("__sh").as("sh_b"))
     candidates
       .join(ta, "id_a").join(tb, "id_b")
       .select(F.col("id_a"), F.col("id_b"),
-        jaccardUdf(F.col("text_a"), F.col("text_b"), F.lit(w)).as("jaccard"))
+        jaccardHashesUdf(F.col("sh_a"), F.col("sh_b")).as("jaccard"))
       .filter(F.col("jaccard") >= threshold)
   }
 
