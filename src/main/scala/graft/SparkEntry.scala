@@ -488,6 +488,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the COMPLETE legacy named-feature catalog (~185 features,
+    // predict_language.js:120-306) as one broadcast batch extractor:
+    // three automaton passes + the regex set per row, never one scan per
+    // feature. Input text gets a rotating language-flavored header so
+    // every feature family fires on some rows.
+    "q43_legacy_features" -> ((s, dir) => {
+      val bc = s.sparkContext.broadcast(new graft.functions.LegacyFeatures.Extractor)
+      val bitsUdf = udf((text: String) => bc.value.extract(text))
+      val injected = legacySnippets.zipWithIndex.foldLeft(lit(null).cast("string")) {
+        case (acc, (snippet, i)) =>
+          when(col("doc_id") % legacySnippets.length === i,
+            concat(lit(snippet), col("text"))).otherwise(acc)
+      }
+      val named = graft.functions.LegacyFeatures.names.zipWithIndex.map {
+        case (n, i) => col("bits").getItem(i).as(n)
+      }
+      t(s, dir, "documents")
+        .withColumn("t2", injected)
+        .withColumn("bits", bitsUdf(col("t2")))
+        .select(col("doc_id") +: named.toSeq: _*)
+        .orderBy("doc_id")
+    }),
+
     // the engine's PRIMARY langid (char-n-gram NB) under the driver gate:
     // deterministic fixture model (literal weights), per-doc argmax,
     // aggregated per predicted class. Oracle = literal pin (the mix64
@@ -840,6 +863,9 @@ object SparkEntry {
            |WHERE $cos >= 0.2
            |ORDER BY id_a, id_b""".stripMargin
       },
+      // the full legacy catalog restated in SQL (generated per-feature:
+      // word-boundary regexes, 'm'-flag regexes, list_filter line preds).
+      "q43_legacy_features" -> legacyFeaturesOracleSql,
       // named-feature battery: word-boundary features as leftmost-scan
       // regexes (equivalent to hasWordIn's any-unflanked-occurrence loop),
       // import regexes with RE2's 'm' flag, line predicates as
@@ -860,9 +886,9 @@ object SparkEntry {
            |  ${w("table")} AS w_table,
            |  ${w("scan")} AS w_scan,
            |  (${w("from")} AND ${w("import")}) AS has_from_import,
-           |  regexp_matches(t2, '^\\s*from\\s+\\S+\\s+import\\b', 'm') AS re_from_import,
-           |  regexp_matches(t2, '^\\s*import\\s+\\*\\s+as\\s+', 'm') AS re_import_star_as,
-           |  regexp_matches(t2, '^\\s*import\\s+[''"]', 'm') AS re_import_quote,
+           |  regexp_matches(t2, '(?m)^\\s*from\\s+\\S+\\s+import\\b') AS re_from_import,
+           |  regexp_matches(t2, '(?m)^\\s*import\\s+\\*\\s+as\\s+') AS re_import_star_as,
+           |  regexp_matches(t2, '(?m)^\\s*import\\s+[''"]') AS re_import_quote,
            |  len(list_filter(string_split(t2, chr(10)),
            |    x -> length(rtrim(split_part(x, '#', 1))) > 0
            |         AND ends_with(rtrim(split_part(x, '#', 1)), ':'))) > 0 AS indent_colon,
@@ -907,6 +933,97 @@ object SparkEntry {
     * multi-probe filter, and the exact-cosine ranking. Double literals
     * round-trip exactly (shortest-repr toString, correctly-rounded parse),
     * so signatures are bit-identical across engines. */
+  /** Rotating language-flavored headers for q43: deterministic per doc_id,
+    * chosen so every legacy feature family (python/c/go/php/sql/diff/make/
+    * rust/yaml+md/perl/vb/r) fires on some rows. */
+  private val legacySnippets: Array[String] = Array(
+    "from pkg import thing as t\n@decorator\ndef f(x):\n    return f'{x}'\n" +
+      "g = lambda self: None\nok = True or False\n'''doc''' \"\"\"doc\"\"\"\n" +
+      "def g(*args, **kwargs): pass\n",
+    "#include <iostream>\n#include <stdio.h>\ntemplate <typename T>\n" +
+      "int main() {\n    char c; std::string s;\n    printf(\"%d\");\n" +
+      "    scanf(\"%d\");\n    return 0;\n}\n/*# odd */\n",
+    "package main\nimport (\nfunc f() {\n\tx := <-ch\n\tvar c chan int\n" +
+      "\tdefer close(c)\n\tgo run()\n}\n",
+    "<?php\n$this->x = $y;\nnamespace A;\nuse B;\necho $x;\n" +
+      "function f(&$a) { $b = ($c); }\n",
+    "SELECT * FROM t WHERE x = 1;\nINSERT INTO tbl VALUES (1);\n" +
+      "CREATE TABLE t2 (a INT);\n",
+    "diff --git a/x b/x\n@@ -1 +1 @@\n+++ b/x\n--- a/x\n",
+    "target: dep\n\t$(shell echo hi)\n.PHONY: all\nVAR := 1\nKEY ?= x\n" +
+      "[section]\n; ini comment\nk = v\n",
+    "fn main() -> i32 {\n    let mut x = 0;\n    macro_rules! m\n" +
+      "    match x {}\n    use std::fmt;\n    #[derive(Debug)]\n}\n",
+    "- item\n---\nkey: value\n# heading\n```\n[link](url)\n> quote\n" +
+      "1. ordered\n====\n* starred\n...\n",
+    "my $x = 1;\nuse strict;\nuse warnings;\ns/foo/bar/;\nprint @ARGV;\n",
+    "Imports System\nModule M\nSub F()\nEnd Sub\nDim x As Integer\n",
+    "library(x)\ndf <- data.frame(a=1)\nggplot(df)\nset.seed(42)\nx = TRUE\n",
+    "export const f = async (x) => {\n  let y = await g(x);\n" +
+      "  interface I { readonly a: string }\n  enum E {}\n  type T = number;\n" +
+      "  class C implements I {}\n  this.x += 1;\n};\n" +
+      "import { a } from 'mod';\nimport * as ns from \"m\";\n",
+    "$var-name: 10px;\n@mixin foo { color: red; }\n@include foo;\n" +
+      "@extend .bar;\nwidth: #{interp};\n&.nested { }\n@less-var: 2;\n" +
+      "@{lessinterp}\n@import (css) 'x';\n.mixin-call ( );\nx when (y)\n",
+    "#!/bin/bash\nexport PATH=/x\nif [ -f x ]; then\n  run_thing\nfi\n" +
+      "for i in 1; do\n  echo $i\ndone\nif test -z y; then fi\n",
+    "<?xml version=\"1.0\"?>\n<a xmlns=\"ns\">\n{ \"key\": 1 }\n" +
+      "query Q { ... on T { id } }\nmutation M\nfragment F\nlocal x = 1\n" +
+      "if x then y elseif z end\na .. b\nputs 'hi'\nrequire 'mod'\nmodule Foo\nend\n",
+    "public class A extends B {\n  private static void m() { var x = new C(); }\n" +
+      "  protected boolean ok; String s; byte b; bytes raw;\n" +
+      "  List<? extends T> l; int n = strlen(s);\n" +
+      "  cstring cs; bool b2; str st;\n  import 'quoted'\n" +
+      "  case x .+ y : default z\n}\n",
+  )
+
+  /** SQL restatement of one legacy feature over column t2. */
+  private def legacyFeatureSql(f: graft.functions.LegacyFeatures.Feat): String = {
+    import graft.functions.LegacyFeatures._
+    def sqlEsc(s: String) = s.replace("'", "''")
+    def reQuote(s: String) = s.flatMap { c =>
+      if ("\\^$.|?*+()[]{}".indexOf(c) >= 0) s"\\$c" else c.toString
+    }
+    def wordRe(tok: String) = s"(^|[^A-Za-z0-9_])${reQuote(tok)}([^A-Za-z0-9_]|$$)"
+    f match {
+      // NB: multiline anchoring must be the inline RE2 flag (?m) — DuckDB's
+      // third-argument options do not enable it (measured)
+      case Word(t)   => s"regexp_matches(t2, '${sqlEsc(wordRe(t))}')"
+      case WordCi(t) =>
+        s"regexp_matches(lower(t2), '${sqlEsc(wordRe(t.toLowerCase(java.util.Locale.ROOT)))}')"
+      case Sym(t)    => s"contains(t2, '${sqlEsc(t)}')"
+      case Re(p)     => s"regexp_matches(t2, '(?m)${sqlEsc(p)}')"
+      case LineStart(p) => s"regexp_matches(t2, '(?m)${sqlEsc("^\\s*" + reQuote(p))}')"
+      case Indent(n) => s"regexp_matches(t2, '(?m)^[ ]{$n}.*\\S')"
+      case IndentColonF =>
+        """len(list_filter(string_split(t2, chr(10)),
+          | x -> length(rtrim(split_part(x, '#', 1))) > 0
+          |      AND ends_with(rtrim(split_part(x, '#', 1)), ':'))) > 0""".stripMargin
+      case FStringF   => """regexp_matches(t2, '(^|[^A-Za-z0-9_])f[''"]')"""
+      case DollarVarF => """regexp_matches(t2, '\$[A-Za-z_]')"""
+      case And(a, b)  => s"(${legacyFeatureSql(a)} AND ${legacyFeatureSql(b)})"
+      case Or(a, b)   => s"(${legacyFeatureSql(a)} OR ${legacyFeatureSql(b)})"
+    }
+  }
+
+  private def legacyFeaturesOracleSql: String = {
+    def sqlEsc(s: String) = s.replace("'", "''")
+    val cases = legacySnippets.zipWithIndex.map { case (sn, i) =>
+      s"WHEN $i THEN '${sqlEsc(sn)}' || text"
+    }.mkString(" ")
+    val cols = graft.functions.LegacyFeatures.all.map { case (name, feat) =>
+      s"""${legacyFeatureSql(feat)} AS "$name""""
+    }.mkString(",\n ")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % ${legacySnippets.length} AS INTEGER) $cases END AS t2
+       |  FROM documents)
+       |SELECT doc_id,
+       | $cols
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** Sign-bit signature of column `v` under the seeded hyperplanes,
     * inlined as DOUBLE[] literals (round-trip exact). */
   private def sigExprSql(nBits: Int, seed: Long, dim: Int): String = {
