@@ -77,6 +77,23 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("simhash LSH recall: planted one-word-changed dups are recovered") {
+    import spark.implicits._
+    // simhash targets long-document near-dups: one changed word out of 120
+    // flips only a couple of signature bits (a 30-word doc flips too many —
+    // that regime belongs to minhash)
+    val longDocs = (0 until 20).map(i =>
+      doc(i, (0 until 120).map(j => s"w${(Dedup.mix64(i * 7000L + j) & Long.MaxValue) % 100000}")))
+    val dups = longDocs.map { case (id, text) =>
+      (id + 1000, text.replaceFirst("w\\d+", "changed")) }
+    val df = (longDocs ++ dups).toDF("id", "text")
+    val pairs = Dedup.simhashDupPairs(df, "text", "id", maxHamming = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 20).map(i => (i.toLong, i + 1000L)).toSet
+    val recall = planted.intersect(pairs).size.toDouble / planted.size
+    assert(recall >= 0.9, s"recall $recall, found ${planted.intersect(pairs).size}/20")
+  }
+
   test("simhash hot-bucket cap bounds the quadratic blowup on degenerate corpora") {
     import spark.implicits._
     // 60 identical texts: all four 16-bit bands collide in one bucket

@@ -48,6 +48,37 @@ class NamedFeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("legacy catalog: goldens on language-flavored fixtures") {
+    val ex = new LegacyFeatures.Extractor
+    def feats(text: String): Set[String] = {
+      val bits = ex.extract(text)
+      LegacyFeatures.names.zipWithIndex.collect { case (n, i) if bits(i) => n }.toSet
+    }
+    val py = feats("from pkg import thing as t\n@decorator\ndef f(x):\n    return f'{x}'\n")
+    assert(Set("HasFromImport", "HasFromImportOrder", "HasImportAs", "HasDef",
+      "HasDecoratorLine", "HasPythonFString", "HasIndentColon", "HasIndentFourSpaces",
+      "HasImport").subsetOf(py), py.toString)
+    assert(!py.contains("HasVbSub") && !py.contains("HasPhpTag") && !py.contains("HasSemicolon"))
+
+    val mk = feats("target: dep\n\t$(shell echo hi)\n.PHONY: all\nVAR := 1\n")
+    assert(Set("HasMakeTarget", "HasMakeVar", "HasMakeShell", "HasMakeRecipeTab",
+      "HasPhony", "HasMakeAssign", "HasTabs", "HasColonEquals").subsetOf(mk), mk.toString)
+
+    val sql = feats("SELECT a FROM t WHERE x = 1;\nCREATE TABLE t2 (a INT);")
+    assert(Set("HasSqlSelect", "HasSqlFrom", "HasSqlWhere", "HasSqlCreateTable",
+      "HasSemicolon").subsetOf(sql), sql.toString)
+    assert(!sql.contains("HasSqlInsertInto"))
+
+    val rs = feats("fn main() -> i32 {\n    let mut x = 0;\n}\n#[derive(Debug)]")
+    assert(Set("HasRustFnArrow", "HasLetMut", "HasRustDerive", "HasLet",
+      "HasThinArrow").subsetOf(rs), rs.toString)
+
+    // empty and null are safe and all-false
+    assert(feats("").isEmpty)
+    assert(ex.extract(null).forall(!_))
+    assert(LegacyFeatures.all.length == 186)
+  }
+
   test("word-boundary matcher equals the reference hasWordIn loop semantics") {
     def hasWordIn(haystack: String, word: String): Boolean = {
       var start = 0
