@@ -31,7 +31,9 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** Flagship: the quality_filter pipeline shape over the documents table
-    * at sf0.001 — metrics, junk rules, PII scrub, fingerprint, token count.
+    * at sf0.001 — metrics, junk rules, PII scrub, fingerprint, token count,
+    * language-ID with the FULL reference-scale 696-token model (broadcast
+    * Aho–Corasick, one pass per row).
     * One narrow stage: scan → project/filter → result (no shuffle).
     */
   def entry(spark: SparkSession): DataFrame = {
@@ -41,7 +43,7 @@ object SparkEntry {
     val total = length(text).cast("double")
     val piiScrub = udf((s: String) => graft.text.Scrub.scrubPii(s))
     val scorer = spark.sparkContext.broadcast(
-      new graft.score.Scorer(graft.model.DefaultModels.tiny))
+      new graft.score.Scorer(graft.model.ReferenceFeatures.fullModel))
     val langPred = udf((s: String) => scorer.value.predictLabel(s))
     docs
       .withColumn("lang_pred", langPred(text))

@@ -204,19 +204,22 @@ object Ann {
       .observe("cosine_dup_caps",
         F.sum((F.col("__bn") > maxBucket).cast("long")).as("capped_rows"))
       .filter(F.col("__bn") <= maxBucket).drop("__bn")
-    val a = capped.select(F.col("lsh_bucket"), F.col(idCol).as("id_a"), F.col(embCol).as("emb_a"))
-    val b = capped.select(F.col("lsh_bucket"), F.col(idCol).as("id_b"), F.col(embCol).as("emb_b"))
     def asD(c: Column) = F.transform(c, x => x.cast("double"))
+    // norms are per-ROW quantities: compute them once before the self-join
+    // instead of twice per candidate pair
+    def norm(c: Column) = F.sqrt(F.aggregate(F.transform(asD(c), x => x * x), F.lit(0.0), (acc, x) => acc + x))
+    val withNorm = capped.withColumn("__nrm", norm(F.col(embCol)))
+    val a = withNorm.select(F.col("lsh_bucket"), F.col(idCol).as("id_a"),
+      F.col(embCol).as("emb_a"), F.col("__nrm").as("nrm_a"))
+    val b = withNorm.select(F.col("lsh_bucket"), F.col(idCol).as("id_b"),
+      F.col(embCol).as("emb_b"), F.col("__nrm").as("nrm_b"))
     val dot = F.aggregate(F.zip_with(asD(F.col("emb_a")), asD(F.col("emb_b")), (x, y) => x * y),
       F.lit(0.0), (acc, x) => acc + x)
-    def norm(c: Column) = F.sqrt(F.aggregate(F.transform(asD(c), x => x * x), F.lit(0.0), (acc, x) => acc + x))
-    val normA = norm(F.col("emb_a"))
-    val normB = norm(F.col("emb_b"))
     a.join(b, Seq("lsh_bucket"))
       .filter(F.col("id_a") < F.col("id_b"))
       .select(F.col("id_a"), F.col("id_b"),
-        F.when(normA === 0.0 || normB === 0.0, F.lit(-1.0))
-          .otherwise(dot / (normA * normB)).as("cosine"))
+        F.when(F.col("nrm_a") === 0.0 || F.col("nrm_b") === 0.0, F.lit(-1.0))
+          .otherwise(dot / (F.col("nrm_a") * F.col("nrm_b"))).as("cosine"))
       .filter(F.col("cosine") >= threshold)
       .distinct()
   }
