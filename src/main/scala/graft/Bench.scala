@@ -111,29 +111,32 @@ object Bench {
       s.stop()
     }
     val nSmall = math.max(1, cpus / 4)
-    // warm both code paths once (JIT), then INTERLEAVE the N / 4N
-    // measurements so slow host-contention drift (noisy neighbors on this
-    // box) hits both sides of the ratio equally; take the min per side.
-    oneRun(cpus, clustered = false, inputPath)
-    oneRun(cpus, clustered = true, clusteredPath)
-    def interleaved(rounds: Int, small: Int, big: Int,
-                    clustered: Boolean, path: String): (Double, Double) = {
-      val pairs = (1 to rounds).map { _ =>
-        (oneRun(small, clustered, path), oneRun(big, clustered, path))
-      }
-      (pairs.map(_._1).min, pairs.map(_._2).min)
-    }
-    val (secSmall, sec4N) = interleaved(3, nSmall, cpus, clustered = false, inputPath)
-    val (secClusteredSmall, secClustered4N) =
-      interleaved(3, nSmall, cpus, clustered = true, clusteredPath)
     // second N→4N evidence at half parallelism (N=cpus/8 → 4N=cpus/2):
     // it needs only half the box, so host-level contention that saturates
     // full-width (32-core) stages cannot corrupt this ratio — a genuine
     // two-cluster-size measurement either way (BASELINE.md methodology)
     val nHalfSmall = math.max(1, cpus / 8)
     val nHalfBig = math.max(2, cpus / 2)
-    val (secHSmall, secHBig) =
-      interleaved(2, nHalfSmall, nHalfBig, clustered = false, inputPath)
+    // warm both code paths once (JIT), then INTERLEAVE ALL configurations
+    // round-robin so slow host-contention drift (noisy neighbors on this
+    // box) hits every config's samples equally — any quiet window inside
+    // the measurement span reaches every config's min.
+    oneRun(cpus, clustered = false, inputPath)
+    oneRun(cpus, clustered = true, clusteredPath)
+    val rounds = (1 to 3).map { _ =>
+      (oneRun(nSmall, clustered = false, inputPath),
+       oneRun(cpus, clustered = false, inputPath),
+       oneRun(nSmall, clustered = true, clusteredPath),
+       oneRun(cpus, clustered = true, clusteredPath),
+       oneRun(nHalfSmall, clustered = false, inputPath),
+       oneRun(nHalfBig, clustered = false, inputPath))
+    }
+    val secSmall = rounds.map(_._1).min
+    val sec4N = rounds.map(_._2).min
+    val secClusteredSmall = rounds.map(_._3).min
+    val secClustered4N = rounds.map(_._4).min
+    val secHSmall = rounds.map(_._5).min
+    val secHBig = rounds.map(_._6).min
 
     def eff(tSmall: Double, tBig: Double, small: Int, big: Int): Double =
       ((nTurns / tBig) / (nTurns / tSmall)) / (big.toDouble / small)

@@ -30,6 +30,9 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  // memory-sink names must be unique per active query within a session
+  private val streamQuerySeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Flagship: the quality_filter pipeline shape over the documents table
     * at sf0.001 — metrics, junk rules, PII scrub, fingerprint, token count,
     * language-ID with the FULL reference-scale 696-token model (broadcast
@@ -325,6 +328,32 @@ object SparkEntry {
         col("lang").as("label"),
         when(md5Bucket(col("doc_id"), 10) === 0, lit("en")).otherwise(col("lang")).as("pred"))
       graft.eval.F1.perClass(preds, "label", "pred").orderBy("cls")
+    }),
+
+    // §2.8 STREAMING under the driver gate: readStream over the events
+    // table → watermarked 5-minute windowed counts → memory sink in
+    // Complete mode (every window present at termination, so the batch
+    // GROUP BY oracle applies exactly). AvailableNow processes the whole
+    // table and terminates.
+    "q44_stream_windowed" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      // the table is a single parquet file; the file-stream source wants a
+      // directory base, so address the file through a glob (the non-glob
+      // prefix — the sf dir — becomes the base path)
+      val stream = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+        // watermarks need an instant (TIMESTAMP), not NTZ; session TZ is UTC
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val counts = graft.streaming.EventStream.windowedCounts(stream)
+      val qname = s"graft_q44_${streamQuerySeq.incrementAndGet()}"
+      val q = counts.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(col("window.start").cast("long").as("w_start"),
+          col("event_type"), col("n"))
+        .orderBy("w_start", "event_type")
     }),
 
     // windowed sessionization (lag + running sum), exact epoch outputs
@@ -865,6 +894,12 @@ object SparkEntry {
            |WHERE $cos >= 0.2
            |ORDER BY id_a, id_b""".stripMargin
       },
+      // streaming windowed counts == batch GROUP BY over aligned 5-minute
+      // windows (Complete mode emits every window)
+      "q44_stream_windowed" ->
+        """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS w_start,
+          | event_type, count(*) AS n
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       // the full legacy catalog restated in SQL (generated per-feature:
       // word-boundary regexes, 'm'-flag regexes, list_filter line preds).
       "q43_legacy_features" -> legacyFeaturesOracleSql,
