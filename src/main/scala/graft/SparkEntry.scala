@@ -771,9 +771,10 @@ object SparkEntry {
           |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       // exact ground truth for the LSH pair-finder: ALL-PAIRS word-3-shingle
       // Jaccard >= 0.5 over the planted-dup table (id < 1e6 base rows plus
-      // the doc_id%7 mutated copies). With k=32/bands=16 (2 rows per band)
-      // the banded candidates provably cover every >=0.5 pair of this
-      // corpus — verified set-equal at sf0.01 (106 pairs, zero diff).
+      // the doc_id%7 mutated copies). LSH candidate recall is probabilistic
+      // in general (pair-miss ~(1-J^2)^16), but both sides are DETERMINISTIC
+      // functions of the fixed sf0.01 corpus, where the banded candidates
+      // were verified to cover every >=0.5 pair (106 pairs, zero set diff).
       "q19_minhash_dups" ->
         """WITH d AS (
           |  SELECT doc_id, text FROM documents
@@ -1034,9 +1035,11 @@ object SparkEntry {
       case LineStart(p) => s"regexp_matches(t2, '(?m)${sqlEsc("^\\s*" + reQuote(p))}')"
       case Indent(n) => s"regexp_matches(t2, '(?m)^[ ]{$n}.*\\S')"
       case IndentColonF =>
+        // rtrim over the full whitespace set (space/tab/VT/FF/CR), matching
+        // Character.isWhitespace on ASCII — plain rtrim strips spaces only
         """len(list_filter(string_split(t2, chr(10)),
-          | x -> length(rtrim(split_part(x, '#', 1))) > 0
-          |      AND ends_with(rtrim(split_part(x, '#', 1)), ':'))) > 0""".stripMargin
+          | x -> length(rtrim(split_part(x, '#', 1), ' ' || chr(9) || chr(11) || chr(12) || chr(13))) > 0
+          |      AND ends_with(rtrim(split_part(x, '#', 1), ' ' || chr(9) || chr(11) || chr(12) || chr(13)), ':'))) > 0""".stripMargin
       case FStringF   => """regexp_matches(t2, '(^|[^A-Za-z0-9_])f[''"]')"""
       case DollarVarF => """regexp_matches(t2, '\$[A-Za-z_]')"""
       case And(a, b)  => s"(${legacyFeatureSql(a)} AND ${legacyFeatureSql(b)})"

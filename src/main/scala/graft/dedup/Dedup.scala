@@ -169,11 +169,14 @@ object Dedup {
                       w: Int = 3, k: Int = 32, bands: Int = 8,
                       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = k / bands
-    // shingle-hash each text ONCE; the signature, the banding, and the
-    // exact-Jaccard verify all work from the hash array. The verify kernel
-    // never re-tokenizes text — at high-recall band settings candidate
-    // pairs outnumber rows, and per-pair string re-shingling dominated the
-    // whole operator before this.
+    // the signature, the banding, and the exact-Jaccard verify all work
+    // from the shingle-HASH array, so the verify kernel never re-tokenizes
+    // text: at high-recall band settings candidate pairs outnumber rows,
+    // and per-pair string re-shingling dominated the whole operator before
+    // this. (The unpersisted withSh plan is evaluated once per subtree —
+    // banding + the two re-attach sides — i.e. 3 narrow O(rows) passes;
+    // that is the deliberate trade vs. caching 10^12 rows or carrying the
+    // arrays through the bands-way exploded exchange.)
     val withSh = df.select(F.col(idCol),
       shinglesUdf(F.col(textCol), F.lit(w)).as("__sh"))
     val banded = withSh

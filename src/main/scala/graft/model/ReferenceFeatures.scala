@@ -30,18 +30,20 @@ object ReferenceFeatures {
     b.toString
   }
 
-  /** lang → its token list (order as in the reference file, deduped). */
+  /** lang → its token list (order as in the reference file, deduped
+    * within each lang — the parser owns that invariant). */
   lazy val byLang: Map[String, Array[String]] = {
     val in = getClass.getResourceAsStream("/graft/reference_features.tsv")
     require(in != null, "reference_features.tsv resource missing")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     try {
-      src.getLines().filter(_.nonEmpty).toArray
-        .map { line =>
+      src.getLines().filter(_.nonEmpty).zipWithIndex.toArray
+        .map { case (line, ln) =>
           val i = line.indexOf('\t')
+          require(i > 0, s"reference_features.tsv line ${ln + 1}: expected 'lang<TAB>token', got: $line")
           (line.substring(0, i), unescape(line.substring(i + 1)))
         }
-        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
     } finally src.close()
   }
 

@@ -105,12 +105,17 @@ object Ann {
   /** Probe a materialized LSH index: enumerate the buckets within
     * `probeHamming` of the query signature (a driver-side loop over
     * 2^nBits values — trivial for nBits <= 20) and scan ONLY those
-    * partitions. The scan's PartitionFilters prune everything else. */
+    * partitions. The scan's PartitionFilters prune everything else.
+    * `dim` MUST match the writeLshIndexed call that built the index (the
+    * hyperplanes are a function of dim — a mismatch would silently probe
+    * unrelated buckets, hence the explicit parameter + guard). */
   def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      embCol: String, idCol: String, q: Array[Float], k: Int,
                      nBits: Int = 12, seed: Long = 42L,
-                     probeHamming: Int = 1): DataFrame = {
-    val planes = hyperplanes(q.length, nBits, seed)
+                     probeHamming: Int = 1, dim: Int = 64): DataFrame = {
+    require(q.length == dim,
+      s"query dim ${q.length} != index dim $dim (must match writeLshIndexed)")
+    val planes = hyperplanes(dim, nBits, seed)
     val qSig = signature(q, planes)
     val probed = (0L until (1L << nBits))
       .filter(b => java.lang.Long.bitCount(b ^ qSig) <= probeHamming)

@@ -70,7 +70,7 @@ class AnnSpec extends AnyFunSuite {
     Ann.writeLshIndexed(df, "embedding", path, nBits = 8, seed = 3L, dim = dim)
     val q = vec(1, 777)
     val fromIndex = Ann.lshTopKIndexed(spark, path, "embedding", "vec_id", q,
-      k = 10, nBits = 8, seed = 3L, probeHamming = 2)
+      k = 10, nBits = 8, seed = 3L, probeHamming = 2, dim = dim)
     val inMemory = Ann.lshTopK(df, "embedding", "vec_id", q, k = 10,
       nBits = 8, seed = 3L, probeHamming = 2)
     assert(fromIndex.collect().map(_.getLong(0)).toSeq ==
