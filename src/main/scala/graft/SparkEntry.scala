@@ -181,6 +181,16 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // BPE-ish token counting (regex pretokenizer match count) + stopword
+    // hits — exact integer aggregates, both codegen'd built-ins (no UDF)
+    "q45_token_budget" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("source")
+        .agg(sum(bpeTokenCount(col("text"))).as("bpe_tokens"),
+          sum(tokenCount(col("text"))).as("ws_tokens"),
+          sum(stopwordCount(col("text"))).as("stopword_hits"),
+          count(lit(1)).as("n"))
+        .orderBy("source")),
+
     // token counting
     "q13_token_stats" -> ((s, dir) =>
       t(s, dir, "documents").groupBy("source")
@@ -631,6 +641,19 @@ object SparkEntry {
         s"""SELECT lang, count(*) AS n FROM (
            |  SELECT arg_min(lang, doc_id) AS lang FROM documents GROUP BY $fpSql
            |) GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q45_token_budget" -> {
+        val bpeRe = graft.functions.TextFunctions.BpeTokenRe.replace("'", "''")
+        val stops = graft.functions.TextFunctions.Stopwords
+          .map(s => s"'$s'").mkString("[", ",", "]")
+        s"""SELECT source,
+           | CAST(sum(len(regexp_extract_all(text, '$bpeRe'))) AS BIGINT) AS bpe_tokens,
+           | CAST(sum($tokSql) AS BIGINT) AS ws_tokens,
+           | CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+           |   len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+           |       w -> list_contains($stops, w))) END) AS BIGINT) AS stopword_hits,
+           | count(*) AS n
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+      },
       "q13_token_stats" ->
         s"""SELECT source, CAST(sum($tokSql) AS BIGINT) AS n_tokens,
            | CAST(sum(n_chars) AS BIGINT) AS n_chars

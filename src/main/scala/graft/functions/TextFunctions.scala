@@ -32,6 +32,38 @@ object TextFunctions {
 
   def lineCount(c: Column): Column = size(split(c, "\n", -1))
 
+  /** BPE-style pretokenizer regex (GPT-2-shaped, ASCII, RE2-compatible —
+    * no lookahead so the DuckDB oracle counts the same matches): English
+    * contractions, space-prefixed letter runs, digit runs, punct runs,
+    * whitespace runs. Both Java regex and RE2 use leftmost-first
+    * alternation, so counts agree across engines. */
+  final val BpeTokenRe = "'(?:ll|ve|re|[sdmt])| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+
+  /** BPE-ish token count: number of pretokenizer matches (codegen'd
+    * regexp_count — the cheap upper-bound proxy for LLM token budgeting;
+    * whitespace tokenCount is the other, cheaper proxy). */
+  def bpeTokenCount(c: Column): Column = regexp_count(c, lit(BpeTokenRe))
+
+  /** Default English stopword set (tiny, ASCII — the usual quality-signal
+    * core; extend per corpus). */
+  final val Stopwords: Array[String] = Array(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this")
+
+  /** Count of whitespace tokens (lowercased) that are stopwords — exact
+    * integer, so aggregates stay oracle-checkable (ratios are for the
+    * consumer to derive). */
+  def stopwordCount(c: Column, stopwords: Seq[String] = Stopwords.toSeq): Column = {
+    val words = split(lower(trim(c)), "\\s+")
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(filter(words, w => w.isInCollection(stopwords))))
+  }
+
+  /** Stopword ratio over whitespace tokens (quality signal). */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = Stopwords.toSeq): Column =
+    when(tokenCount(c) === 0, lit(0.0))
+      .otherwise(stopwordCount(c, stopwords).cast("double") / tokenCount(c))
+
   /** Mean word length over whitespace tokens. */
   def meanWordLen(c: Column): Column =
     when(tokenCount(c) === 0, lit(0.0))
