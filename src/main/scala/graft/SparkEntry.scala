@@ -146,12 +146,18 @@ object SparkEntry {
         .groupBy("lang", "source").agg(count(lit(1)).as("n"))
         .orderBy("lang", "source")),
 
-    // F4/F5 projection + rename + filter pushdown
+    // F4/F5 projection + rename + filter pushdown.
+    // price: exact DECIMAL(18,2) quantization, emitted as DOUBLE. A per-row
+    // DECIMAL output hash-mismatches in the driver whenever the cents end in
+    // zero (Decimal('1419.20') vs float 1419.2 stringify differently across
+    // the pyarrow/duckdb read paths) -- and EVERY p_retailprice here has <=1
+    // decimal digit, so r01/r02 failed on all 1199 rows. DOUBLE is identical
+    // float64 on every reader.
     "q8_project_rename" -> ((s, dir) =>
       t(s, dir, "part")
         .filter(col("p_size") > 20)
         .select(col("p_partkey").as("part_key"), upper(col("p_brand")).as("brand_u"),
-          col("p_retailprice").cast("decimal(18,2)").as("price"))
+          col("p_retailprice").cast("decimal(18,2)").cast("double").as("price"))
         .orderBy("part_key")),
 
     // A11 distinct count
@@ -449,14 +455,19 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
-    // temporal range predicate (pushed to the parquet scan)
+    // temporal range predicate (pushed to the parquet scan).
+    // sum_price: the sum is computed EXACTLY as DECIMAL (order-independent
+    // across partitions), then the single final value is cast to DOUBLE.
+    // Emitting the DECIMAL itself failed the driver hash in r01/r02 because
+    // the 'A' group sum (162446408.30) has trailing-zero cents and
+    // Decimal/float stringify it differently across read paths.
     "q36_date_filter" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .filter(expr("l_shipdate >= TIMESTAMP_NTZ '1995-01-01 00:00:00'") &&
           expr("l_shipdate < TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"))
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
         .orderBy("l_returnflag")),
 
     // semi-structured column: JSON field extraction + aggregation
@@ -625,7 +636,7 @@ object SparkEntry {
           |WHERE lang IN ('en','de','fr') GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "q8_project_rename" ->
         """SELECT p_partkey AS part_key, upper(p_brand) AS brand_u,
-          | CAST(p_retailprice AS DECIMAL(18,2)) AS price
+          | CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price
           |FROM part WHERE p_size > 20 ORDER BY part_key""".stripMargin,
       "q9_countdistinct" ->
         """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
@@ -761,7 +772,7 @@ object SparkEntry {
           |ORDER BY id_a""".stripMargin,
       "q36_date_filter" ->
         """SELECT l_returnflag, count(*) AS n,
-          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+          | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_price
           |FROM lineitem
           |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
           |GROUP BY 1 ORDER BY 1""".stripMargin,
