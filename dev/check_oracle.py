@@ -91,7 +91,7 @@ def main(outdir, sfdir):
             results[name] = f"ERROR {e}"
     # rows-only check for queries without oracle
     for name in sorted(os.listdir(outdir)):
-        if name == "oracle_sql.json" or name in oracle:
+        if name in ("oracle_sql.json", "oracle_pins.json") or name in oracle:
             continue
         n = con.sql(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
         results[name] = f"rows-only: {n} rows" + ("" if n > 0 else "  (!! EMPTY)")

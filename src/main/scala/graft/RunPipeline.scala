@@ -107,13 +107,44 @@ object RunPipeline {
     val result = TranscriptPipeline.run(spark, pendingTurns, nm, lm, saltParts = salt)
     val report = PartitionedSink.write(spark, result, output, nParts)
 
+    // ---- optional near-dup report (--near-dup-report) ----
+    // Runs minhash LSH over the kept, scrubbed output and reports the pair
+    // count AND the hot-bucket capped-row counter: a capped bucket means
+    // the dedup silently lost recall there, which an operator must SEE in
+    // the job summary, not discover in a notebook later.
+    val nearDup: String = if (opt.contains("near-dup-report")) {
+      import org.apache.spark.sql.{functions => F}
+      val capped = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+          qe.observedMetrics.get("minhash_caps")
+            .foreach(r => capped.set(r.getAs[Long]("capped_rows")))
+        override def onFailure(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        val keptRows = spark.read.parquet(output).filter(F.col("keep"))
+          .select(F.xxhash64(F.col("conv_id"), F.col("turn_idx")).as("id"),
+            F.col("scrubbed"))
+        val nPairs = graft.dedup.Dedup
+          .minhashDupPairs(keptRows, "scrubbed", "id", cacheShingles = true)
+          .count()
+        // observe metrics arrive via the (async) listener bus; poll briefly
+        val deadline = System.nanoTime() + 5000000000L
+        while (capped.get() < 0 && System.nanoTime() < deadline) Thread.sleep(20)
+        s""","near_dup_pairs":$nPairs,"minhash_capped_rows":${capped.get()}"""
+      } finally spark.listenerManager.unregister(listener)
+    } else ""
+
     val written = report.written
     println(
       s"""{"job":"graft-pipeline","output":"$output","parts_written":${written.length},""" +
       s""""parts_skipped":${report.skipped.length},"parts_invalidated":${invalidated.length},""" +
       s""""rows":${written.map(_.nRows).sum},"kept":${written.map(_.nKeep).sum},""" +
       s""""pii_hits":${written.map(_.piiHits).sum},"tox_hits":${written.map(_.toxHits).sum},""" +
-      s""""scrub_errors":${written.map(_.scrubErrors).sum}}""")
+      s""""scrub_errors":${written.map(_.scrubErrors).sum}$nearDup}""")
     spark.stop()
   }
 }

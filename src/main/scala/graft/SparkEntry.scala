@@ -35,7 +35,7 @@ object SparkEntry {
 
   /** Flagship: the quality_filter pipeline shape over the documents table
     * at sf0.001 — metrics, junk rules, PII scrub, fingerprint, token count,
-    * language-ID with the FULL reference-scale 696-token model (broadcast
+    * language-ID with the FULL reference-scale 746-token model (broadcast
     * Aho–Corasick, one pass per row).
     * One narrow stage: scan → project/filter → result (no shuffle).
     */
@@ -288,6 +288,11 @@ object SparkEntry {
     // hyperplanes), exact double-cosine verify, hot-bucket cap. Oracle
     // replicates the bucket assignment with plane literals (q21 technique)
     // and the cosine in the same double expression shape.
+    // nBits=4 (16 buckets) is an ORACLE-ONLY setting so DuckDB can restate
+    // the join tractably at sf0.01 — the operator default is 10 bits; with
+    // 16 buckets and the 1000-row bucket cap, recall degrades observably
+    // (via the cosine_dup_caps metric) on any corpus >16k rows. Not a
+    // recommended production config.
     "q42_cosine_dups" -> ((s, dir) =>
       graft.sim.Ann.cosineDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id",
           threshold = 0.2, nBits = 4, seed = 42L, dim = 64)
@@ -486,9 +491,9 @@ object SparkEntry {
         (sum(length(col("text"))) / count(lit(1))).as("mean_len"),
         sum(tokenCount(col("text"))).as("total_tokens"))),
 
-    // X1 at REFERENCE scale: the full 696-token / 32-class substring model
+    // X1 at REFERENCE scale: the full 746-token / 32-class substring model
     // (reference feature corpus, ReferenceFeatures.fullModel). One
-    // broadcast Aho–Corasick pass per row extracts all 696 presence bits;
+    // broadcast Aho–Corasick pass per row extracts all 746 presence bits;
     // the linear scorer's exact-dyadic weights make the prediction
     // SQL-replicable at full size (no subset shortcuts).
     "q39_full_model" -> ((s, dir) => {
@@ -585,6 +590,57 @@ object SparkEntry {
           sum(col("durationMs").cast("long")).as("sum_dur"),
           sum(col("valid").cast("long")).as("n_valid"))
         .orderBy("modality")
+    }),
+
+    // S4 LITERAL Arrow IPC scan: the documents table is round-tripped
+    // through .arrow files (distributed one-file-per-partition write, then
+    // a distributed IPC read) and aggregated — the oracle aggregates the
+    // parquet twin, so the gate proves format fidelity, not just plumbing.
+    "q46_arrow_scan" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_arrow_q46").toString
+      graft.sources.ArrowCorpus.write(t(s, dir, "documents"), tmp)
+      graft.sources.ArrowCorpus.read(s, tmp)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    }),
+
+    // Bucketed co-located join: both sides pre-bucketed by the join key
+    // (one-time shuffle at write), then the join plans as a SortMergeJoin
+    // over co-located sorted buckets with ZERO exchanges (BucketedSpec
+    // asserts the plan) — the strategy for repeated fact-fact joins at
+    // 100 TB. The gate checks result parity vs a plain re-shuffled join.
+    "q48_bucketed_join" -> ((s, dir) => {
+      graft.etl.Bucketed.writeBucketed(
+        t(s, dir, "orders").select("o_custkey", "o_totalprice"),
+        "graft_q48_orders", "o_custkey", nBuckets = 16)
+      graft.etl.Bucketed.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        "graft_q48_customer", "o_custkey", nBuckets = 16)
+      graft.etl.Bucketed.coLocatedJoin(s, "graft_q48_orders", "graft_q48_customer", "o_custkey")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy("c_nationkey")
+    }),
+
+    // P5 external-predictor harness: every document is piped through a
+    // real subprocess (one per partition, JSON-lines lockstep protocol —
+    // the reference's baseline-comparator idiom) and the response is
+    // checked byte-for-byte against the request Spark-side; the oracle
+    // pins echo_ok=true for every row. /bin/cat is the deterministic
+    // stand-in predictor (no Node/hljs in this sandbox).
+    "q47_external_predictor" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.ExternalProcess
+      val ds = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      ExternalProcess.mapWithProcess(ds, Seq("/bin/cat"))
+        .map { case (id, text, resp) =>
+          (id, resp == s"""{"id":$id,"text":"${ExternalProcess.jsonEscape(text)}"}""")
+        }
+        .toDF("doc_id", "echo_ok")
+        .orderBy("doc_id")
     }),
   )
 
@@ -902,7 +958,7 @@ object SparkEntry {
       // L2 argmin assignment (first-index tie-break via list_position),
       // same 2-probe selection, same cosine ranking.
       "q38_ann_ivf" -> ivfOracleSql(nCentroids = 8, dim = 64, nProbe = 2, k = 10),
-      // the FULL 696-token model restated in SQL (~2000 contains() terms,
+      // the FULL 746-token model restated in SQL (~2000 contains() terms,
       // generated): logit_c = 2.125*hits_c - 0.125*total_hits exactly (all
       // dyadic), argmax with first-class-wins ties like Scorer.argmax.
       "q39_full_model" -> fullModelOracleSql,
@@ -922,10 +978,17 @@ object SparkEntry {
             |  THEN -1.0
             |  ELSE list_inner_product(a.v, b.v) /
             |       (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) END)""".stripMargin
+        // the engine caps hot buckets at 1000 rows (min-id kept); replicate
+        // the cap here so both sides compute the SAME candidate set at any
+        // scale, not just while every sf0.01 bucket happens to be < 1000
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |sig AS (SELECT vec_id, v, CAST($sigExpr AS BIGINT) AS s FROM e)
+           |sig AS (SELECT vec_id, v, CAST($sigExpr AS BIGINT) AS s FROM e),
+           |capped AS (SELECT vec_id, v, s FROM (
+           |  SELECT vec_id, v, s,
+           |         row_number() OVER (PARTITION BY s ORDER BY vec_id) AS bn
+           |  FROM sig) WHERE bn <= 1000)
            |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 6) AS cos6
-           |FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+           |FROM capped a JOIN capped b ON a.s = b.s AND a.vec_id < b.vec_id
            |WHERE $cos >= 0.2
            |ORDER BY id_a, id_b""".stripMargin
       },
@@ -968,8 +1031,39 @@ object SparkEntry {
            |    x -> trim(x) <> '' AND starts_with(x, '    '))) > 0 AS indent4
            |FROM f ORDER BY doc_id""".stripMargin
       },
+      // arrow roundtrip must agree with the parquet twin exactly
+      "q46_arrow_scan" ->
+        """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      // the real check is Spark-side (byte equality of subprocess echo vs
+      // request); the oracle pins that every row round-tripped intact
+      "q47_external_predictor" ->
+        "SELECT doc_id, true AS echo_ok FROM documents ORDER BY doc_id",
+      // co-located bucketed join must equal the plain shuffled join
+      "q48_bucketed_join" ->
+        """SELECT c_nationkey, count(*) AS n,
+          | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_price
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
     )
   }
+
+  /** Oracles valid ONLY at a specific scale factor — literal pins of that
+    * corpus's output, or restatements whose equivalence depends on a
+    * property verified at that scale. Verify warns loudly (and records
+    * oracle_pins.json) when run against a different sf dir, so a spurious
+    * gate failure at another scale is diagnosable rather than mysterious. */
+  def oracleSfPins: Map[String, String] = Map(
+    // exact all-pairs Jaccard truth — assumes the banded LSH achieves 100%
+    // recall on THIS corpus (verified: 106/106 pairs at sf0.01)
+    "q19_minhash_dups" -> "sf0.01",
+    // literal VALUES pins of sf0.01 output (mix64 not expressible in DuckDB)
+    "q20_simhash_dups" -> "sf0.01",
+    "q30_mm_decode" -> "sf0.01",
+    "q40_ngram_langid" -> "sf0.01",
+    // nBits=4 keeps the DuckDB self-join tractable at sf0.01 only
+    "q42_cosine_dups" -> "sf0.01",
+  )
 
   /** SQL restatement of ReferenceFeatures.fullModel scoring. Exact because
     * every logit is a dyadic rational (see ReferenceFeatures.fullModel):
@@ -978,7 +1072,7 @@ object SparkEntry {
   private def fullModelOracleSql: String = {
     val rf = graft.model.ReferenceFeatures
     def esc(s: String) = s.replace("'", "''")
-    // flat list literal + list_filter, NOT a 696-term "+" chain: DuckDB's
+    // flat list literal + list_filter, NOT a 746-term "+" chain: DuckDB's
     // binder recurses per binary op and caps at depth 128
     def hits(toks: Array[String]) =
       s"CAST(len(list_filter([${toks.map(t => s"'${esc(t)}'").mkString(",")}], t -> contains(text, t))) AS INTEGER)"

@@ -37,6 +37,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // record scale-factor-pinned oracles and warn if this run's sf differs:
+    // a literal-pinned oracle "failing" at another sf is a harness-usage
+    // error, not an engine defect — make that diagnosable
+    val pinsJson = SparkEntry.oracleSfPins
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_pins.json"), pinsJson)
+    SparkEntry.oracleSfPins.foreach { case (name, sf) =>
+      if (!sfDir.contains(sf))
+        System.err.println(s"[verify] WARNING: $name's oracle is pinned to " +
+          s"$sf but this run reads $sfDir — expect a spurious mismatch")
+    }
     spark.stop()
   }
 }

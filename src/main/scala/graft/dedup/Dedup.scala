@@ -126,14 +126,23 @@ object Dedup {
 
   /** Exact dedup: keep the row with the smallest `idCol` per fingerprint.
     * One shuffle; fingerprint is oracle-checkable
-    * (TextFunctions.fingerprint). */
+    * (TextFunctions.fingerprint).
+    *
+    * Shape: groupBy(fp).agg(min_by(struct(*), id)) rather than a window
+    * row_number. Both are one exchange, but the aggregate gets MAP-SIDE
+    * partial aggregation — co-located duplicates collapse to one row per
+    * fingerprint before the shuffle — while the window sorts every full
+    * row inside the exchange. At 10^12 rows with any duplicate locality
+    * (ingest batches, crawl revisits) that is strictly less shuffle I/O.
+    * DedupSpec asserts the plan: HashAggregate below the exchange, no
+    * Window node. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val fp = graft.functions.TextFunctions.fingerprint(F.col(textCol))
-    val w = Window.partitionBy(F.col("__fp")).orderBy(F.col(idCol))
+    val rowStruct = F.struct(df.columns.map(F.col).toIndexedSeq: _*)
     df.withColumn("__fp", fp)
-      .withColumn("__rn", F.row_number().over(w))
-      .filter(F.col("__rn") === 1)
-      .drop("__fp", "__rn")
+      .groupBy("__fp")
+      .agg(F.min_by(rowStruct, F.col(idCol)).as("__row"))
+      .select("__row.*")
   }
 
   private val minhashUdf =
@@ -167,18 +176,27 @@ object Dedup {
     */
   def minhashDupPairs(df: DataFrame, textCol: String, idCol: String,
                       w: Int = 3, k: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+                      threshold: Double = 0.7, maxBucket: Int = 1000,
+                      cacheShingles: Boolean = false): DataFrame = {
     val rowsPerBand = k / bands
     // the signature, the banding, and the exact-Jaccard verify all work
     // from the shingle-HASH array, so the verify kernel never re-tokenizes
     // text: at high-recall band settings candidate pairs outnumber rows,
     // and per-pair string re-shingling dominated the whole operator before
-    // this. (The unpersisted withSh plan is evaluated once per subtree —
-    // banding + the two re-attach sides — i.e. 3 narrow O(rows) passes;
-    // that is the deliberate trade vs. caching 10^12 rows or carrying the
-    // arrays through the bands-way exploded exchange.)
-    val withSh = df.select(F.col(idCol),
+    // this. Without cacheShingles the withSh plan is evaluated once per
+    // subtree — banding + the two re-attach sides — i.e. 3 narrow O(rows)
+    // text passes. With cacheShingles=true the (id, shingle-hashes)
+    // projection is persisted MEMORY_AND_DISK, so the text is read and
+    // tokenized EXACTLY ONCE; the cached arrays are ~1-2% of text size, a
+    // fair trade even at 10^12 rows (spills to local disk, never OOMs).
+    // Lifecycle: the cache lives until the session evicts it (LRU) or the
+    // caller clears it; eviction only costs recompute, never correctness.
+    val shPlan = df.select(F.col(idCol),
       shinglesUdf(F.col(textCol), F.lit(w)).as("__sh"))
+    val withSh =
+      if (cacheShingles)
+        shPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shPlan
     val banded = withSh
       .withColumn("minhash", minhashOfShinglesUdf(F.col("__sh"), F.lit(k)))
       .select(

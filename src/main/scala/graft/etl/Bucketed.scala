@@ -1,0 +1,44 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table co-location: the join strategy that removes the shuffle
+  * entirely for repeated large-×-large joins.
+  *
+  * At 100 TB, a fact-fact join (orders × lineitem, turns × annotations)
+  * shuffles BOTH sides on every run. Writing each table bucketed by the
+  * join key (`bucketBy` + `sortBy`, hash-partitioned into a fixed bucket
+  * count) pays one shuffle at WRITE time; every subsequent join on that
+  * key is planned as a sort-merge join over already-co-located,
+  * already-sorted buckets — zero Exchange on either side, verified by
+  * BucketedSpec's plan assertion. This is the parquet-table equivalent of
+  * Iceberg's bucket partition transform; the sink-side manifests/resume
+  * machinery (PartitionedSink) composes with it unchanged.
+  *
+  * Bucket-count choice at scale: both sides must use the SAME count (a
+  * mismatch re-shuffles the smaller side); pick it so one bucket of the
+  * bigger table fits an executor's sort buffer (e.g. 10 TB / 4096 buckets
+  * ≈ 2.4 GB splits).
+  */
+object Bucketed {
+
+  /** One-time bucketed materialization of `df` as managed table `name`
+    * (session warehouse), hash-bucketed and sorted by `key`. */
+  def writeBucketed(df: DataFrame, name: String, key: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(name)
+
+  /** Join two same-bucket-count tables on `key`. With bucketing on both
+    * sides Catalyst plans a SortMergeJoin whose children are plain scans —
+    * no ShuffleExchange, no per-query re-sort (buckets are written
+    * sorted). The `merge` hint keeps the small side out of a broadcast so
+    * the co-location property is what's exercised (for a genuinely small
+    * dim, broadcast remains the right call — drop the hint). */
+  def coLocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                    key: String): DataFrame =
+    spark.table(leftTable).hint("merge")
+      .join(spark.table(rightTable).hint("merge"), key)
+}

@@ -266,6 +266,11 @@ object LegacyFeatures {
       val text = if (text0 == null) "" else text0
       val lower = text.toLowerCase(java.util.Locale.ROOT)
       val lines = splitJsLines(text)
+      // Re features run over CR/CRLF-normalized text: Java MULTILINE
+      // honors lone \r (and NEL/LS/PS) as ^/$ anchors while the RE2
+      // oracle's '(?m)' honors only \n — a CR-only document would flip
+      // features engine-side only (see StructuralPredicates scaladoc)
+      lazy val reText = graft.text.Normalize.newlines(text)
       val wBits = wordMatcher.matchWordBits(text)
       val wCiBits = wordCiMatcher.matchWordBits(lower)
       val sBits = symMatcher.matchBits(text)
@@ -273,7 +278,7 @@ object LegacyFeatures {
         case Word(t)      => wBits(wIdx(t))
         case WordCi(t)    => wCiBits(wCiIdx(t.toLowerCase(java.util.Locale.ROOT)))
         case Sym(t)       => sBits(sIdx(t))
-        case Re(p)        => compiled(reIdx(p)).matcher(text).find()
+        case Re(p)        => compiled(reIdx(p)).matcher(reText).find()
         case LineStart(p) => StructuralPredicates.hasLineStartingWith(lines, p)
         case Indent(n)    => StructuralPredicates.hasLeadingIndent(lines, n)
         case IndentColonF => StructuralPredicates.hasIndentColons(lines)

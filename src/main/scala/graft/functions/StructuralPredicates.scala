@@ -96,7 +96,13 @@ object StructuralPredicates {
 
   // ---------- import-shape regex family (predict_language.js:167-171) ----------
   // JS multiline regexes re-expressed once here; Java regex and RE2
-  // (DuckDB) agree on these constructs (\s \S \b, non-dotall '.').
+  // (DuckDB) agree on these constructs (\s \S \b, non-dotall '.') — but
+  // NOT on line terminators: Java MULTILINE ^/$ honor lone \r plus the
+  // U+0085/U+2028/U+2029 terminators, and Java \s includes \x0B,
+  // while RE2 '(?m)' honors only \n.
+  // So the regex pass always runs over Normalize.newlines(text) (CR/CRLF
+  // -> \n, same pre-step the reference applies at features.py:98); the
+  // residual NEL/LS/PS divergence is accepted as out of corpus (ASCII).
 
   final val FromImportOrderRe = """^\s*from\s+\S+\s+import\b"""
   final val ImportFromOrderRe = """^\s*import\b.+\bfrom\s+['"]"""
@@ -106,7 +112,7 @@ object StructuralPredicates {
 
   private def multiline(text: String, re: String): Boolean =
     java.util.regex.Pattern.compile(re, java.util.regex.Pattern.MULTILINE)
-      .matcher(text).find()
+      .matcher(graft.text.Normalize.newlines(text)).find()
 
   def hasFromImportOrder(text: String): Boolean = multiline(text, FromImportOrderRe)
   def hasImportFromOrder(text: String): Boolean = multiline(text, ImportFromOrderRe)

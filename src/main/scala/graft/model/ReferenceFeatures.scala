@@ -3,12 +3,15 @@ package graft.model
 /** The reference's curated substring-feature corpus at FULL scale.
   *
   * Provenance (public content, re-expressed as data): the 32 per-language
-  * token lists under `/root/reference/feature_lists/<lang>.py` (1,345 entries),
+  * token lists under `/root/reference/feature_lists/<lang>.py` (1,408 entries,
+  * ast-extracted verbatim incl. symbol-heavy and newline-bearing tokens),
   * assembled exactly like `/root/reference/features.py:45-81`: concatenate
-  * all lists, dedupe, sort → 696 distinct feature tokens. Checked in as a
+  * all lists, dedupe, sort → 746 distinct feature tokens. Checked in as a
   * TSV resource (`lang \t escaped-token`, escapes: \\ \t \n \r) so the
   * engine exercises codegen/broadcast/accuracy at the reference's real
-  * model size, not just the 10-feature demo model.
+  * model size, not just the 10-feature demo model. (Round-2 shipped a
+  * 1,345-entry subset — a generator defect dropped 63 symbol tokens like
+  * "diff --git", "@@", "$(", "==="; round 3 regenerated the full corpus.)
   */
 object ReferenceFeatures {
 
@@ -52,10 +55,10 @@ object ReferenceFeatures {
 
   /** The assembled feature list: dedupe + sort over all lists — the exact
     * `features.py` semantics (Python sorted() and Scala String ordering
-    * agree: all 696 tokens are ASCII). */
+    * agree: all 746 tokens are ASCII). */
   lazy val tokens: Array[String] = byLang.valuesIterator.flatten.toSet.toArray.sorted
 
-  /** Deterministic full-size model (696 features × 32 classes).
+  /** Deterministic full-size model (746 features × 32 classes).
     *
     * Weights are EXACT DYADIC rationals — 2.0 for a token in the class's
     * list, -0.125 otherwise, intercept 0 — so every logit is an exact

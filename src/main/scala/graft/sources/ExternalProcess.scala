@@ -1,0 +1,113 @@
+package graft.sources
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, Encoder}
+
+/** External-predictor harness (reference P5 shape): drive a line-protocol
+  * subprocess from Spark, the idiom the reference uses to compare against
+  * third-party baselines (`js/test_hljs.py:26-65` pipes docs to a Node
+  * process as JSON lines and reads one JSON verdict line back per doc).
+  *
+  * Scale shape — the parts that matter at 10^12 rows:
+  *  - ONE process per partition, reused for every row in it (process
+  *    startup is milliseconds-to-seconds; per-row spawn would dominate).
+  *  - Strictly ORDERED lockstep request/response: write one line, flush,
+  *    read one line. No pipelining buffer to deadlock on, and the i-th
+  *    response provably belongs to the i-th request.
+  *  - Cleanup via both iterator exhaustion AND a task-completion listener,
+  *    so a failed/cancelled task never leaks the child process.
+  *
+  * The protocol is plain UTF-8 lines; texts are JSON-string-escaped so
+  * embedded newlines survive the line framing. Any executable honoring
+  * "read a line, write a line" works — tests use /bin/sh and cat as
+  * deterministic stand-ins (the sandbox has no Node/hljs; the harness is
+  * the capability, the predictor binary is a plug-in point).
+  */
+object ExternalProcess {
+
+  /** JSON string escape (RFC 8259 minimal set + control chars). */
+  def jsonEscape(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"'  => b.append("\\\"")
+        case '\\' => b.append("\\\\")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case o if o < 0x20 => b.append(f"\\u${o.toInt}%04x")
+        case o    => b.append(o)
+      }
+      i += 1
+    }
+    b.toString
+  }
+
+  /** Inverse of jsonEscape for the simple one-string-field protocol. */
+  def jsonUnescape(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => b.append('"'); i += 2
+          case '\\' => b.append('\\'); i += 2
+          case 'n'  => b.append('\n'); i += 2
+          case 'r'  => b.append('\r'); i += 2
+          case 't'  => b.append('\t'); i += 2
+          case 'u' if i + 5 < s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case o => b.append(c); b.append(o); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  /** Map `(id, text)` rows through an external process, one process per
+    * partition. Each row is sent as one line `{"id":<id>,"text":"<esc>"}`;
+    * the process must answer with exactly one line per request, returned
+    * verbatim as the `response` field.
+    */
+  def mapWithProcess(ds: Dataset[(Long, String)], command: Seq[String])(
+      implicit enc: Encoder[(Long, String, String)]): Dataset[(Long, String, String)] =
+    ds.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val proc = new ProcessBuilder(command: _*).start()
+        val toProc = new BufferedWriter(
+          new OutputStreamWriter(proc.getOutputStream, UTF_8))
+        val fromProc = new BufferedReader(
+          new InputStreamReader(proc.getInputStream, UTF_8))
+        var closed = false
+        def shutdown(): Unit = if (!closed) {
+          closed = true
+          try toProc.close() catch { case _: Exception => }
+          try { proc.waitFor(5, java.util.concurrent.TimeUnit.SECONDS); () }
+          catch { case _: Exception => }
+          proc.destroy()
+        }
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => shutdown()))
+        new Iterator[(Long, String, String)] {
+          def hasNext: Boolean = { val h = it.hasNext; if (!h) shutdown(); h }
+          def next(): (Long, String, String) = {
+            val (id, text) = it.next()
+            toProc.write(s"""{"id":$id,"text":"${jsonEscape(text)}"}""")
+            toProc.newLine()
+            toProc.flush()
+            val resp = fromProc.readLine()
+            require(resp != null,
+              s"external process ${command.head} closed its stdout at id=$id")
+            (id, text, resp)
+          }
+        }
+      }
+    }
+}

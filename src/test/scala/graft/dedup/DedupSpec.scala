@@ -114,4 +114,46 @@ class DedupSpec extends AnyFunSuite {
     assert(out.count() == base.size)
     assert(out.agg(F.max("id")).head().getLong(0) < 500, "must keep the min-id copy")
   }
+
+  test("exact dedup plan: map-side partial aggregate before the exchange, no Window") {
+    import spark.implicits._
+    val df = base.toDF("id", "text")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = Dedup.exact(df, "text", "id").queryExecution.executedPlan
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, "exact dedup must not sort full rows through a Window")
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size == 1, s"expected one exchange, got ${exchanges.size}")
+      // the exchange's child must already be a partial HashAggregate:
+      // co-located duplicates collapse BEFORE any bytes hit the wire
+      val partialAggBelow = exchanges.head.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(partialAggBelow.nonEmpty,
+        s"expected partial aggregate below the exchange:\n${plan.treeString}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("cacheShingles=true tokenizes each text exactly once (single text scan)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def runWith(cache: Boolean): Long = {
+      val calls = sc.longAccumulator(s"textReads_$cache")
+      val reader = F.udf { (t: String) => calls.add(1); t }
+      val df = base.toDF("id", "raw").withColumn("text", reader(F.col("raw")))
+      Dedup.minhashDupPairs(df, "text", "id", w = 3, k = 32, bands = 16,
+        threshold = 0.5, cacheShingles = cache).count()
+      calls.value
+    }
+    val withCache = runWith(cache = true)
+    val without = runWith(cache = false)
+    assert(withCache == base.size.toLong,
+      s"cached run must read each text once, read $withCache for ${base.size} rows")
+    assert(without > withCache, s"uncached run re-reads text ($without reads)")
+  }
 }

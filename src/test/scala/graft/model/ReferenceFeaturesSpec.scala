@@ -7,17 +7,17 @@ import graft.SparkTestSession
 import graft.score.Scorer
 import graft.train.Trainer
 
-/** The reference-scale feature corpus (696 tokens / 32 language lists) and
+/** The reference-scale feature corpus (746 tokens / 32 language lists) and
   * the scoring + training paths at that REAL model size — the round-1 gap:
   * machinery existed but was only ever exercised on a 10-feature model. */
 class ReferenceFeaturesSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
 
-  test("corpus loads at reference scale: 696 deduped+sorted tokens over 32 lists") {
+  test("corpus loads at reference scale: 746 deduped+sorted tokens over 32 lists") {
     val rf = ReferenceFeatures
     assert(rf.langs.length == 32, rf.langs.mkString(","))
-    assert(rf.tokens.length == 696, s"got ${rf.tokens.length}")
+    assert(rf.tokens.length == 746, s"got ${rf.tokens.length}")
     assert(rf.tokens.toSeq == rf.tokens.toSeq.sorted, "features.py sorts the deduped set")
     assert(rf.tokens.distinct.length == rf.tokens.length)
     // spot checks incl. escaped entries (provenance: feature_lists/<lang>.py)
@@ -25,7 +25,10 @@ class ReferenceFeaturesSpec extends AnyFunSuite {
     assert(rf.byLang("cpp").contains("#include <iostream>"))
     assert(rf.byLang("python").exists(_.contains("def ")) ||
       rf.byLang("python").contains("def"))
-    assert(rf.byLang.values.map(_.length).sum == 1345)
+    // the raw lists carry 1,408 entries; 9 are duplicates WITHIN one
+    // language's list, which byLang's per-lang distinct collapses (the
+    // assembled global token set is identical either way)
+    assert(rf.byLang.values.map(_.length).sum == 1399)
   }
 
   test("full-size scorer: one-pass matcher parity with naive per-token contains") {
@@ -52,7 +55,7 @@ class ReferenceFeaturesSpec extends AnyFunSuite {
     }
   }
 
-  test("TRAINED model at reference scale: 32 classes x 696 features, macro-F1 gate") {
+  test("TRAINED model at reference scale: 32 classes x 746 features, macro-F1 gate") {
     import spark.implicits._
     val rf = ReferenceFeatures
     val rnd = new scala.util.Random(42)
@@ -71,7 +74,7 @@ class ReferenceFeaturesSpec extends AnyFunSuite {
     }).toDF("lang_true", "text", "row_id")
     val result = Trainer.train(spark, rows, "lang_true", "text",
       rf.tokens, "row_id", valPct = 20, maxIter = 60)
-    assert(result.model.numFeatures == 696)
+    assert(result.model.numFeatures == 746)
     assert(result.model.numClasses == 31)
     // reference gets 92.6% accuracy at 666 features over 34 real languages
     // (experiments.md:271); the synthetic corpus is comparably separable

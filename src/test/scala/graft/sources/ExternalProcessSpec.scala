@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** P5 external-predictor harness: per-partition process reuse and strictly
+  * ordered request/response over a JSON-lines pipe (the reference drives
+  * its third-party baseline comparisons exactly this way —
+  * test_hljs.<lang>.py pipes JSON lines to a long-lived child process). */
+class ExternalProcessSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  // echo server that prefixes its own PID: responses reveal which process
+  // instance served each row, proving reuse across a partition
+  private val pidEcho = Seq("/bin/sh", "-c",
+    """while IFS= read -r l; do printf '%s %s\n' "$$" "$l"; done""")
+
+  test("one process per partition, reused for every row in it") {
+    import spark.implicits._
+    val n = 40
+    val ds = spark.range(n).map(i => (i.toLong, s"text number $i")).repartition(4)
+    val out = ExternalProcess.mapWithProcess(ds, pidEcho).collect()
+    assert(out.length == n)
+    // recover (pid, id) pairs from responses
+    val pidById = out.map { case (id, _, resp) =>
+      id -> resp.split(" ", 2)(0)
+    }.toMap
+    val pids = pidById.values.toSet
+    assert(pids.size <= 4, s"expected <=4 process instances, saw ${pids.size}")
+    assert(pids.size > 1, "expected multiple partitions to get their own process")
+  }
+
+  test("ordered request/response: i-th reply belongs to i-th request, verbatim") {
+    import spark.implicits._
+    val ds = spark.range(25).map(i => (i.toLong, s"payload-$i")).repartition(3)
+    val out = ExternalProcess.mapWithProcess(ds, pidEcho).collect()
+    out.foreach { case (id, text, resp) =>
+      val body = resp.split(" ", 2)(1)
+      assert(body == s"""{"id":$id,"text":"${ExternalProcess.jsonEscape(text)}"}""",
+        s"response for id=$id does not echo its own request: $resp")
+      assert(text == s"payload-$id")
+    }
+  }
+
+  test("newlines/tabs/quotes in text survive the line framing") {
+    import spark.implicits._
+    val tricky = Seq(
+      (0L, "line one\nline two"),
+      (1L, "tab\there \"quoted\" back\\slash"),
+      (2L, "ctrlchar and \r cr"))
+    val ds = spark.createDataset(tricky)
+    val out = ExternalProcess.mapWithProcess(ds, pidEcho)
+      .collect().sortBy(_._1)
+    out.zip(tricky).foreach { case ((id, text, resp), (eid, etext)) =>
+      assert(id == eid && text == etext)
+      val body = resp.split(" ", 2)(1)
+      // round-trip: unescape the echoed JSON text field back to the original
+      val field = body.stripPrefix(s"""{"id":$id,"text":"""").stripSuffix("\"}")
+      assert(ExternalProcess.jsonUnescape(field) == etext,
+        s"escape round-trip failed for id=$id")
+    }
+  }
+}
