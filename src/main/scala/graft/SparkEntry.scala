@@ -249,6 +249,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j6"))
         .orderBy("id_a", "id_b")),
 
+    // near-dup CLUSTERING: the q19 pair list -> connected components via
+    // hash-min label propagation (comp = min doc_id in the duplicate
+    // cluster — the canonical survivor a dedup pass would keep). Oracle =
+    // recursive-CTE transitive closure over the exact all-pairs truth.
+    "q49_dedup_components" -> ((s, dir) => {
+      val pairs = graft.dedup.Dedup.minhashDupPairs(docsWithPlantedDups(s, dir),
+        "text", "doc_id", w = 3, k = 32, bands = 16, threshold = 0.5)
+      graft.dedup.Dedup.components(pairs).orderBy("node")
+    }),
+
     // SimHash near-dup pairs on planted dups (no SQL oracle)
     "q20_simhash_dups" -> ((s, dir) =>
       graft.dedup.Dedup.simhashDupPairs(docsWithPlantedDups(s, dir), "text", "doc_id",
@@ -1039,6 +1049,42 @@ object SparkEntry {
       // request); the oracle pins that every row round-tripped intact
       "q47_external_predictor" ->
         "SELECT doc_id, true AS echo_ok FROM documents ORDER BY doc_id",
+      // connected components over the exact all-pairs near-dup truth
+      // (same CTEs as q19), via recursive-CTE label spreading: every
+      // reachable label reaches every node; min per node = min id in the
+      // component — exactly the hash-min fixpoint the engine computes
+      "q49_dedup_components" ->
+        """WITH RECURSIVE d AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text || ' mutated' AS text
+          |  FROM documents WHERE doc_id % 7 = 0),
+          |sh AS (
+          |  SELECT doc_id,
+          |    (CASE WHEN len(ws) >= 3 THEN
+          |      list_distinct(list_transform(generate_series(1, len(ws) - 2),
+          |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+          |     WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
+          |     ELSE [] END) AS s
+          |  FROM (SELECT doc_id,
+          |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+          |        FROM d)),
+          |j AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    (CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+          |     ELSE len(list_intersect(a.s, b.s)) * 1.0 /
+          |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END) AS jac
+          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+          |e AS (
+          |  SELECT id_a AS a, id_b AS b FROM j WHERE jac >= 0.5
+          |  UNION ALL
+          |  SELECT id_b AS a, id_a AS b FROM j WHERE jac >= 0.5),
+          |cc AS (
+          |  SELECT a AS node, a AS comp FROM e
+          |  UNION
+          |  SELECT e.b AS node, cc.comp AS comp FROM cc JOIN e ON e.a = cc.node)
+          |SELECT node, CAST(min(comp) AS BIGINT) AS comp
+          |FROM cc GROUP BY node ORDER BY node""".stripMargin,
       // co-located bucketed join must equal the plain shuffled join
       "q48_bucketed_join" ->
         """SELECT c_nationkey, count(*) AS n,

@@ -229,6 +229,57 @@ object Dedup {
       .filter(F.col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected near-dup pair list — the step
+    * that turns pair output (minhash/simhash/cosine) into an actual
+    * DEDUPLICATED corpus: one component = one duplicate cluster; keep the
+    * min-id member as canonical, drop the rest.
+    *
+    * Algorithm: hash-min label propagation on DataFrames. Every node
+    * starts labeled with its own id; each round takes the min of its own
+    * and its neighbors' labels (one join + one aggregation, both
+    * map-side-combinable); converged when no label changed. Rounds needed
+    * = the largest component's diameter — for near-dup clusters that is
+    * small by construction (members are all pairwise-similar, so clusters
+    * are near-cliques; real-corpus diameters are single digits). Each
+    * round shuffles only (node, label) pairs — 16 bytes/row — never text.
+    * The per-round action (convergence count) is the deliberate trade for
+    * not over-iterating; `maxIter` bounds a pathological chain graph.
+    * Each round's result is localCheckpoint'ed: iterative self-joins
+    * otherwise DOUBLE the logical plan per round (2^rounds analyzer blowup
+    * — the classic iterative-DataFrame OOM), and at scale you'd recompute
+    * the whole history every round.
+    * Returns (node, comp) with comp = min id in the component; nodes
+    * appearing in no pair are singletons and are not emitted (their
+    * component is trivially themselves). */
+  def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                 maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(F.col(idA).as("src"), F.col(idB).as("dst"))
+      .union(pairs.select(F.col(idB).as("src"), F.col(idA).as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(F.col("src").as("node")).distinct()
+      .withColumn("comp", F.col("node")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(F.col("node").as("dst"), F.col("comp").as("dcomp")), "dst")
+        .groupBy("src").agg(F.min("dcomp").as("ncomp"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(F.col("node"),
+          F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).as("comp"))
+        .localCheckpoint(true) // materialize + truncate lineage
+      changed = next.join(labels.select(F.col("node"), F.col("comp").as("prev")), "node")
+        .filter(F.col("comp") =!= F.col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0L,
+      s"components did not converge in $maxIter rounds — raise maxIter " +
+        "(component diameter exceeds the bound)")
+    labels
+  }
+
   /** SimHash near-dup pairs: identical 16-bit band ⇒ candidate; verified by
     * Hamming distance <= maxHamming.
     *

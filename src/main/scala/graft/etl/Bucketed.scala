@@ -23,13 +23,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketed {
 
   /** One-time bucketed materialization of `df` as managed table `name`
-    * (session warehouse), hash-bucketed and sorted by `key`. */
-  def writeBucketed(df: DataFrame, name: String, key: String, nBuckets: Int): Unit =
+    * (session warehouse), hash-bucketed and sorted by `key`.
+    *
+    * Idempotent across JVMs: a FRESH in-memory catalog doesn't know about
+    * a previous run's table, so `mode("overwrite")` alone throws
+    * LOCATION_ALREADY_EXISTS on the leftover warehouse directory — drop
+    * the registration AND clear the stale location first. (With a real
+    * metastore/Iceberg catalog the DROP alone suffices.) */
+  def writeBucketed(df: DataFrame, name: String, key: String, nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      name.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(nBuckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(name)
+  }
 
   /** Join two same-bucket-count tables on `key`. With bucketing on both
     * sides Catalyst plans a SortMergeJoin whose children are plain scans —

@@ -139,6 +139,22 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("components: clusters, chains, and singleton exclusion") {
+    import spark.implicits._
+    // two triangles-ish clusters, one pair, and a 13-node chain (12 hops —
+    // exercises multi-round propagation well past diameter 1)
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L)) ++
+      (100L until 112L).map(i => (i, i + 1)))
+      .toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1) == 1 && got(2) == 1 && got(3) == 1)
+    assert(got(10) == 10 && got(11) == 10)
+    assert(got(20) == 20 && got(21) == 20 && got(22) == 20)
+    (100L to 112L).foreach(i => assert(got(i) == 100L, s"chain node $i -> ${got(i)}"))
+    assert(got.size == 3 + 2 + 3 + 13, "only nodes appearing in pairs are emitted")
+  }
+
   test("cacheShingles=true tokenizes each text exactly once (single text scan)") {
     import spark.implicits._
     val sc = spark.sparkContext
