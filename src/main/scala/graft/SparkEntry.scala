@@ -242,10 +242,25 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cosine"), 6).as("cos6"))
     }),
 
-    // MinHash LSH near-dup pairs on planted dups (no SQL oracle)
+    // ANN on int8-QUANTIZED vectors (4x memory/bandwidth vs float32 — at
+    // 10^12 embeddings the vector bytes are the scan cost): symmetric
+    // per-vector scale, floor(x/scale+0.5) codes, integer-dot cosine.
+    // Oracle recomputes the identical quantization in SQL.
+    "q50_ann_int8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      graft.sim.Ann.int8TopK(emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", q, 10)
+        .select(col("vec_id"), round(col("icos"), 6).as("icos6"))
+    }),
+
+    // MinHash LSH near-dup pairs on planted dups (no SQL oracle).
+    // cacheShingles: the (id, shingle-hashes) projection is persisted so
+    // the text is read and tokenized exactly once (DedupSpec proves the
+    // single scan); without it the plan makes 3 narrow text passes.
     "q19_minhash_dups" -> ((s, dir) =>
       graft.dedup.Dedup.minhashDupPairs(docsWithPlantedDups(s, dir), "text", "doc_id",
-          w = 3, k = 32, bands = 16, threshold = 0.5)
+          w = 3, k = 32, bands = 16, threshold = 0.5, cacheShingles = true)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j6"))
         .orderBy("id_a", "id_b")),
 
@@ -255,7 +270,8 @@ object SparkEntry {
     // recursive-CTE transitive closure over the exact all-pairs truth.
     "q49_dedup_components" -> ((s, dir) => {
       val pairs = graft.dedup.Dedup.minhashDupPairs(docsWithPlantedDups(s, dir),
-        "text", "doc_id", w = 3, k = 32, bands = 16, threshold = 0.5)
+        "text", "doc_id", w = 3, k = 32, bands = 16, threshold = 0.5,
+        cacheShingles = true)
       graft.dedup.Dedup.components(pairs).orderBy("node")
     }),
 
@@ -760,6 +776,28 @@ object SparkEntry {
           |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
           |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
           |LIMIT 10""".stripMargin,
+      // identical quantization restated in SQL: scale = maxAbs/127 (same
+      // division order), floor(x/scale + 0.5) codes, dot/(|a||b|) in
+      // double — all integer-valued math, so bit-exact across engines
+      "q50_ann_int8" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |s AS (SELECT vec_id, v,
+          |        list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS sc
+          |      FROM e),
+          |c AS (SELECT vec_id,
+          |        CASE WHEN sc = 0 THEN list_transform(v, x -> 0.0)
+          |             ELSE list_transform(v, x -> floor(x / sc + 0.5)) END AS cv
+          |      FROM s),
+          |qv AS (SELECT cv FROM c WHERE vec_id = 0),
+          |r AS (SELECT vec_id,
+          |        CASE WHEN list_inner_product(cv, cv) = 0
+          |               OR (SELECT list_inner_product(cv, cv) FROM qv) = 0 THEN -1.0
+          |             ELSE list_inner_product(cv, (SELECT cv FROM qv)) /
+          |                  (sqrt(list_inner_product(cv, cv)) *
+          |                   sqrt((SELECT list_inner_product(cv, cv) FROM qv))) END AS icos
+          |      FROM c WHERE vec_id <> 0)
+          |SELECT vec_id, round(icos, 6) AS icos6 FROM r
+          |ORDER BY icos DESC, vec_id LIMIT 10""".stripMargin,
       "q22_det_sample" ->
         s"""SELECT lang, count(*) AS n FROM documents
            |WHERE $md5bucket < 30 GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -105,6 +105,22 @@ class AnnSpec extends AnyFunSuite {
       "ivf_cluster probe must become PartitionFilters on the scan")
   }
 
+  test("int8-quantized top-k: high overlap with exact top-k, codes in range") {
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "embedding")
+    val q = vec(2, 999)
+    val exact = Ann.bruteForceTopK(df, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val quant = Ann.int8TopK(df, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(quant).size >= 8,
+      s"int8 recall too low: ${exact.intersect(quant).size}/10")
+    // driver-side quantizer sanity: codes integral, bounded, zero-safe
+    val codes = Ann.int8Codes(q)
+    assert(codes.forall(c => c == math.rint(c) && math.abs(c) <= 127.0))
+    assert(Ann.int8Codes(Array.fill(4)(0.0f)).forall(_ == 0.0))
+  }
+
   test("cosine dup pairs: zero-norm rows rank as -1.0, never NaN") {
     import spark.implicits._
     val withZero = rows.take(25) :+ (999L, Array.fill(dim)(0.0f))

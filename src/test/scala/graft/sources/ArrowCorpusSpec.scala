@@ -78,6 +78,16 @@ class ArrowCorpusSpec extends AnyFunSuite {
     assert(agg(ArrowCorpus.read(spark, ar)) == agg(spark.read.parquet(pq)))
   }
 
+  test("unsupported column types fail loudly at schema mapping, not at extraction") {
+    import spark.implicits._
+    val df = Seq((1L, BigDecimal("1.50"))).toDF("id", "price") // DecimalType unsupported
+    val e = intercept[IllegalArgumentException] {
+      ArrowCorpus.write(df, tmpDir("bad"))
+    }
+    assert(e.getMessage.contains("unsupported Spark type"))
+    assert(e.getMessage.contains("price"))
+  }
+
   private implicit class JavaListOps[T](s: Seq[T]) {
     def asJava: java.util.List[T] = {
       val l = new java.util.ArrayList[T](s.size)
