@@ -556,7 +556,10 @@ object SparkEntry {
           .when(col("doc_id") % 5 === 3, concat(lit("import 'mod'\n"), col("text")))
           .otherwise(col("text"))
       t(s, dir, "documents")
-        .withColumn("t2", injected)
+        // CR/CRLF -> LF before ANY feature family (the reference's own
+        // pre-step, features.py:98): Java regex/trim and DuckDB RE2/rtrim
+        // disagree about \r, so neither side may ever see one
+        .withColumn("t2", regexp_replace(injected, "\\r\\n?", "\n"))
         .withColumn("wb", wordBits(col("t2")))
         .select(
           col("doc_id"),
@@ -588,7 +591,8 @@ object SparkEntry {
         case (n, i) => col("bits").getItem(i).as(n)
       }
       t(s, dir, "documents")
-        .withColumn("t2", injected)
+        // CR/CRLF -> LF before extraction — see q41's comment
+        .withColumn("t2", regexp_replace(injected, "\\r\\n?", "\n"))
         .withColumn("bits", bitsUdf(col("t2")))
         .select(col("doc_id") +: named.toSeq: _*)
         .orderBy("doc_id")
@@ -625,6 +629,13 @@ object SparkEntry {
     "q46_arrow_scan" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_arrow_q46").toString
       graft.sources.ArrowCorpus.write(t(s, dir, "documents"), tmp)
+      // the fixture is read lazily, so it can't be deleted here — register
+      // JVM-exit cleanup so repeated Verify/Bench runs don't grow /tmp
+      locally {
+        val d = new java.io.File(tmp)
+        d.deleteOnExit()
+        Option(d.listFiles()).foreach(_.foreach(_.deleteOnExit()))
+      }
       graft.sources.ArrowCorpus.read(s, tmp)
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
@@ -1058,12 +1069,12 @@ object SparkEntry {
           s"regexp_matches(t2, '(^|[^A-Za-z0-9_])$word([^A-Za-z0-9_]|$$)')"
         s"""WITH f AS (
            |  SELECT doc_id,
-           |    CASE CAST(doc_id % 5 AS INTEGER)
+           |    regexp_replace(CASE CAST(doc_id % 5 AS INTEGER)
            |      WHEN 0 THEN 'from pkg import thing' || chr(10) || text
            |      WHEN 1 THEN 'import * as ns' || chr(10) || text
            |      WHEN 2 THEN '    indented: # c' || chr(10) || text
            |      WHEN 3 THEN 'import ''mod''' || chr(10) || text
-           |      ELSE text END AS t2
+           |      ELSE text END, '\r\n?', chr(10), 'g') AS t2
            |  FROM documents)
            |SELECT doc_id,
            |  ${w("table")} AS w_table,
@@ -1139,8 +1150,10 @@ object SparkEntry {
     * gate failure at another scale is diagnosable rather than mysterious. */
   def oracleSfPins: Map[String, String] = Map(
     // exact all-pairs Jaccard truth — assumes the banded LSH achieves 100%
-    // recall on THIS corpus (verified: 106/106 pairs at sf0.01)
+    // recall on THIS corpus (verified: 106/106 pairs at sf0.01); q49
+    // clusters the same pair set under the same assumption
     "q19_minhash_dups" -> "sf0.01",
+    "q49_dedup_components" -> "sf0.01",
     // literal VALUES pins of sf0.01 output (mix64 not expressible in DuckDB)
     "q20_simhash_dups" -> "sf0.01",
     "q30_mm_decode" -> "sf0.01",
@@ -1171,7 +1184,9 @@ object SparkEntry {
       if (i == n - 1) s"ELSE '${rf.langs(i)}'"
       else s"WHEN ${((i + 1) until n).map(j => s"s$i >= s$j").mkString(" AND ")} THEN '${rf.langs(i)}'"
     }.mkString(" ")
-    s"""WITH b AS (SELECT doc_id, $nf AS n_feats, $hitCols FROM documents),
+    s"""WITH nd AS (SELECT doc_id, regexp_replace(text, '\r\n?', chr(10), 'g') AS text
+       |             FROM documents),
+       |b AS (SELECT doc_id, $nf AS n_feats, $hitCols FROM nd),
        |sc AS (SELECT doc_id, n_feats, $scoreCols FROM b)
        |SELECT doc_id, CASE $argmax END AS pred, n_feats
        |FROM sc ORDER BY doc_id""".stripMargin
@@ -1269,7 +1284,8 @@ object SparkEntry {
     }.mkString(",\n ")
     s"""WITH f AS (
        |  SELECT doc_id,
-       |    CASE CAST(doc_id % ${legacySnippets.length} AS INTEGER) $cases END AS t2
+       |    regexp_replace(CASE CAST(doc_id % ${legacySnippets.length} AS INTEGER) $cases END,
+       |      '\r\n?', chr(10), 'g') AS t2
        |  FROM documents)
        |SELECT doc_id,
        | $cols

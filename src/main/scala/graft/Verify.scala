@@ -43,8 +43,9 @@ object Verify {
     val pinsJson = SparkEntry.oracleSfPins
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_pins.json"), pinsJson)
+    val sfName = new java.io.File(sfDir).getName // exact basename, not substring
     SparkEntry.oracleSfPins.foreach { case (name, sf) =>
-      if (!sfDir.contains(sf))
+      if (sfName != sf)
         System.err.println(s"[verify] WARNING: $name's oracle is pinned to " +
           s"$sf but this run reads $sfDir — expect a spurious mismatch")
     }

@@ -253,8 +253,13 @@ object Dedup {
     * component is trivially themselves). */
   def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                  maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(F.col(idA).as("src"), F.col(idB).as("dst"))
-      .union(pairs.select(F.col(idB).as("src"), F.col(idA).as("dst")))
+    // materialize the pair list ONCE before the two-direction union —
+    // otherwise each union branch re-executes the upstream plan (for
+    // minhash pairs that is the candidate join + exact-verify kernel,
+    // the dominant cost of the whole dedup)
+    val p = pairs.select(F.col(idA).as("src"), F.col(idB).as("dst"))
+      .localCheckpoint(true)
+    val edges = p.union(p.select(F.col("dst").as("src"), F.col("src").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(F.col("src").as("node")).distinct()
       .withColumn("comp", F.col("node")).localCheckpoint(true)

@@ -147,7 +147,12 @@ object ArrowCorpus {
         val w: UnionListWriter = x.getWriter
         w.setPosition(r)
         w.startList()
-        row.getSeq[Float](c).foreach(w.float4().writeFloat4)
+        val fw = w.float4()
+        // elements come boxed (containsNull=true in the schema mapping);
+        // a null element must become an Arrow null, not an unboxing NPE
+        row.getAs[scala.collection.Seq[java.lang.Float]](c).foreach { v =>
+          if (v == null) fw.writeNull() else fw.writeFloat4(v.floatValue())
+        }
         w.endList()
       case (other, t) => throw new IllegalArgumentException(
         s"ArrowCorpus.write: unsupported vector ${other.getClass.getSimpleName} for $t")
@@ -162,10 +167,12 @@ object ArrowCorpus {
   def read(spark: SparkSession, path: String): DataFrame = {
     val p = Paths.get(path)
     val files: Seq[String] =
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.map(_.toString)
+      if (Files.isDirectory(p)) {
+        val stream = Files.list(p) // close it: the stream holds an open fd
+        try stream.iterator().asScala.map(_.toString)
           .filter(_.endsWith(".arrow")).toSeq.sorted
-      else Seq(path)
+        finally stream.close()
+      } else Seq(path)
     require(files.nonEmpty, s"no .arrow files under $path")
     val schema = {
       val alloc = new RootAllocator()

@@ -80,7 +80,15 @@ object ExternalProcess {
     ds.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
       else {
-        val proc = new ProcessBuilder(command: _*).start()
+        val pb = new ProcessBuilder(command: _*)
+        // stderr must never block the child: the default pipe is drained by
+        // nobody, so a predictor that logs more than the ~64 KB pipe buffer
+        // would stall on its stderr write and stop answering stdout —
+        // deadlocking the partition. Discard it (a real predictor's
+        // diagnostics belong in its own log file, not a pipe we'd have to
+        // drain on a thread).
+        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+        val proc = pb.start()
         val toProc = new BufferedWriter(
           new OutputStreamWriter(proc.getOutputStream, UTF_8))
         val fromProc = new BufferedReader(

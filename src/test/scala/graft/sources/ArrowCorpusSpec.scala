@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{functions => F, Row}
 import org.apache.spark.sql.types._
 
@@ -50,7 +52,9 @@ class ArrowCorpusSpec extends AnyFunSuite {
         i % 2 == 0,
         Array[Byte]((i % 127).toByte, 0, -1),
         java.time.LocalDateTime.of(2024, 1, 1 + (i % 28), i % 24, 0, i % 60),
-        (0 until 4).map(j => (i + j) * 0.5f))
+        (0 until 4).map(j =>
+          if (i % 11 == 0 && j == 2) null // null ELEMENT inside the array
+          else java.lang.Float.valueOf((i + j) * 0.5f)))
     }
     val df = spark.createDataFrame(
       new java.util.ArrayList[Row](rows.asJava), schema).repartition(3)
@@ -78,6 +82,26 @@ class ArrowCorpusSpec extends AnyFunSuite {
     assert(agg(ArrowCorpus.read(spark, ar)) == agg(spark.read.parquet(pq)))
   }
 
+  test("multi-batch write (rows > batch size) roundtrips, incl. list columns") {
+    import spark.implicits._
+    // 10k rows in 1 partition -> 3 record batches of 4096; exercises
+    // vector reset + list-writer state across writeBatch() calls
+    val df = (0 until 10000).map(i =>
+      (i.toLong, s"t$i", Seq(i * 0.5f, i * 0.25f)))
+      .toDF("id", "s", "emb").coalesce(1)
+    val dir = tmpDir("multibatch")
+    ArrowCorpus.write(df, dir)
+    val back = ArrowCorpus.read(spark, dir).collect()
+    assert(back.length == 10000)
+    val byId = back.map(r => r.getLong(0) -> r).toMap
+    Seq(0, 4095, 4096, 9999).foreach { i =>
+      val r = byId(i.toLong)
+      assert(r.getString(1) == s"t$i")
+      assert(r.getSeq[Float](2) == Seq(i * 0.5f, i * 0.25f),
+        s"list mismatch at row $i: ${r.getSeq[Float](2)}")
+    }
+  }
+
   test("unsupported column types fail loudly at schema mapping, not at extraction") {
     import spark.implicits._
     val df = Seq((1L, BigDecimal("1.50"))).toDF("id", "price") // DecimalType unsupported
@@ -88,11 +112,4 @@ class ArrowCorpusSpec extends AnyFunSuite {
     assert(e.getMessage.contains("price"))
   }
 
-  private implicit class JavaListOps[T](s: Seq[T]) {
-    def asJava: java.util.List[T] = {
-      val l = new java.util.ArrayList[T](s.size)
-      s.foreach(l.add)
-      l
-    }
-  }
 }
