@@ -275,6 +275,14 @@ object SparkEntry {
       graft.dedup.Dedup.components(pairs).orderBy("node")
     }),
 
+    // the END-TO-END near-dup filter: pairs -> clusters -> keep only the
+    // min-id member per cluster; per-lang survivor counts under the gate
+    "q51_drop_near_dups" -> ((s, dir) =>
+      graft.dedup.Dedup.dropNearDups(docsWithPlantedDups(s, dir), "text", "doc_id",
+          w = 3, k = 32, bands = 16, threshold = 0.5)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")),
+
     // SimHash near-dup pairs on planted dups (no SQL oracle)
     "q20_simhash_dups" -> ((s, dir) =>
       graft.dedup.Dedup.simhashDupPairs(docsWithPlantedDups(s, dir), "text", "doc_id",
@@ -1134,6 +1142,45 @@ object SparkEntry {
           |  SELECT e.b AS node, cc.comp AS comp FROM cc JOIN e ON e.a = cc.node)
           |SELECT node, CAST(min(comp) AS BIGINT) AS comp
           |FROM cc GROUP BY node ORDER BY node""".stripMargin,
+      // end-to-end near-dup filter: survivors = docs that are not a
+      // non-canonical member of any duplicate cluster (same closure CTEs
+      // as q49, same sf0.01 recall pin)
+      "q51_drop_near_dups" ->
+        """WITH RECURSIVE d AS (
+          |  SELECT doc_id, text, lang FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text || ' mutated' AS text, lang
+          |  FROM documents WHERE doc_id % 7 = 0),
+          |sh AS (
+          |  SELECT doc_id,
+          |    (CASE WHEN len(ws) >= 3 THEN
+          |      list_distinct(list_transform(generate_series(1, len(ws) - 2),
+          |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+          |     WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
+          |     ELSE [] END) AS s
+          |  FROM (SELECT doc_id,
+          |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+          |        FROM d)),
+          |j AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    (CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+          |     ELSE len(list_intersect(a.s, b.s)) * 1.0 /
+          |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END) AS jac
+          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+          |e AS (
+          |  SELECT id_a AS a, id_b AS b FROM j WHERE jac >= 0.5
+          |  UNION ALL
+          |  SELECT id_b AS a, id_a AS b FROM j WHERE jac >= 0.5),
+          |cc AS (
+          |  SELECT a AS node, a AS comp FROM e
+          |  UNION
+          |  SELECT e.b AS node, cc.comp AS comp FROM cc JOIN e ON e.a = cc.node),
+          |losers AS (
+          |  SELECT node FROM (SELECT node, min(comp) AS comp FROM cc GROUP BY node)
+          |  WHERE node <> comp)
+          |SELECT lang, count(*) AS n FROM d
+          |WHERE doc_id NOT IN (SELECT node FROM losers)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       // co-located bucketed join must equal the plain shuffled join
       "q48_bucketed_join" ->
         """SELECT c_nationkey, count(*) AS n,
@@ -1154,6 +1201,7 @@ object SparkEntry {
     // clusters the same pair set under the same assumption
     "q19_minhash_dups" -> "sf0.01",
     "q49_dedup_components" -> "sf0.01",
+    "q51_drop_near_dups" -> "sf0.01",
     // literal VALUES pins of sf0.01 output (mix64 not expressible in DuckDB)
     "q20_simhash_dups" -> "sf0.01",
     "q30_mm_decode" -> "sf0.01",

@@ -285,6 +285,26 @@ object Dedup {
     labels
   }
 
+  /** The end-to-end near-dup FILTER: detect pairs (minhash LSH), cluster
+    * them (components), keep only the min-id member of each duplicate
+    * cluster. This is the operator a training-data pipeline actually
+    * runs; pairs/components are its inspectable intermediates.
+    *
+    * Scale shape: the corpus flows through exactly once at the end — a
+    * LEFT ANTI join against the (tiny) non-canonical id set, which AQE
+    * broadcasts when it fits; everything upstream shuffles ids and
+    * hashes, never text. */
+  def dropNearDups(df: DataFrame, textCol: String, idCol: String,
+                   w: Int = 3, k: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val pairs = minhashDupPairs(df, textCol, idCol, w, k, bands, threshold,
+      maxBucket, cacheShingles = true)
+    val losers = components(pairs)
+      .filter(F.col("node") =!= F.col("comp"))
+      .select(F.col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs: identical 16-bit band ⇒ candidate; verified by
     * Hamming distance <= maxHamming.
     *

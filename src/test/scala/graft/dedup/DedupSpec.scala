@@ -155,6 +155,18 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size == 3 + 2 + 3 + 13, "only nodes appearing in pairs are emitted")
   }
 
+  test("dropNearDups removes planted mutants, keeps originals and non-dups") {
+    import spark.implicits._
+    val dups = base.take(10).map { case (id, text) =>
+      (id + 1000, text.replaceFirst("w\\d+", "changed")) }
+    val df = (base ++ dups).toDF("id", "text")
+    val survivors = Dedup.dropNearDups(df, "text", "id", w = 3, k = 32,
+      bands = 16, threshold = 0.5).collect().map(_.getLong(0)).toSet
+    assert((0 until 40).forall(i => survivors(i.toLong)), "all originals survive")
+    assert((0 until 10).forall(i => !survivors(i + 1000L)),
+      s"planted mutants must be dropped, got ${survivors.filter(_ >= 1000)}")
+  }
+
   test("cacheShingles=true tokenizes each text exactly once (single text scan)") {
     import spark.implicits._
     val sc = spark.sparkContext
