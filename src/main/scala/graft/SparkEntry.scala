@@ -187,6 +187,18 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // quantile cutoffs for threshold-based quality filtering: exact
+    // percentile path (oracle-checkable vs DuckDB quantile_cont — same
+    // linear-interpolation definition). DYADIC fractions (.25/.5/.75) on
+    // integer lengths make the interpolated doubles bit-exact in both
+    // engines regardless of evaluation order, so no rounding is needed.
+    // Quantiles.approx (KLL-style sketch) is the 100 TB path, spec-gated
+    // within rank tolerance of this exact result.
+    "q52_quality_percentiles" -> ((s, dir) =>
+      graft.stats.Quantiles.exact(t(s, dir, "documents"), length(col("text")),
+          Seq("source"), Seq(0.25, 0.5, 0.75))
+        .orderBy("source")),
+
     // BPE-ish token counting (regex pretokenizer match count) + stopword
     // hits — exact integer aggregates, both codegen'd built-ins (no UDF)
     "q45_token_budget" -> ((s, dir) =>
@@ -753,6 +765,14 @@ object SparkEntry {
         s"""SELECT lang, count(*) AS n FROM (
            |  SELECT arg_min(lang, doc_id) AS lang FROM documents GROUP BY $fpSql
            |) GROUP BY 1 ORDER BY 1""".stripMargin,
+      // quantile_cont shares percentile's linear-interpolation definition;
+      // dyadic fractions on integer lengths -> bit-exact doubles both sides
+      "q52_quality_percentiles" ->
+        """SELECT source,
+          | quantile_cont(CAST(length(text) AS DOUBLE), 0.25) AS p25,
+          | quantile_cont(CAST(length(text) AS DOUBLE), 0.5) AS p50,
+          | quantile_cont(CAST(length(text) AS DOUBLE), 0.75) AS p75
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
       "q45_token_budget" -> {
         val bpeRe = graft.functions.TextFunctions.BpeTokenRe.replace("'", "''")
         val stops = graft.functions.TextFunctions.Stopwords

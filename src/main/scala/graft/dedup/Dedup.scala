@@ -285,25 +285,37 @@ object Dedup {
     labels
   }
 
-  /** The end-to-end near-dup FILTER: detect pairs (minhash LSH), cluster
-    * them (components), keep only the min-id member of each duplicate
-    * cluster. This is the operator a training-data pipeline actually
-    * runs; pairs/components are its inspectable intermediates.
+  /** Drop the non-canonical members of every duplicate cluster implied by
+    * ANY near-dup pair list (`minhashDupPairs`, `simhashDupPairs`,
+    * `Ann.cosineDupPairs` — all emit `id_a`/`id_b`): cluster the pairs
+    * (components), keep the min-id member per cluster, left-anti-join the
+    * rest away.
     *
     * Scale shape: the corpus flows through exactly once at the end — a
     * LEFT ANTI join against the (tiny) non-canonical id set, which AQE
-    * broadcasts when it fits; everything upstream shuffles ids and
-    * hashes, never text. */
-  def dropNearDups(df: DataFrame, textCol: String, idCol: String,
-                   w: Int = 3, k: Int = 32, bands: Int = 8,
-                   threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
-    val pairs = minhashDupPairs(df, textCol, idCol, w, k, bands, threshold,
-      maxBucket, cacheShingles = true)
-    val losers = components(pairs)
+    * broadcasts when it fits (losers are at most the duplicated fraction
+    * of ids, 8 bytes each); everything upstream shuffles ids and hashes,
+    * never text. */
+  def dropByPairs(df: DataFrame, pairs: DataFrame, idCol: String,
+                  idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val losers = components(pairs, idA, idB)
       .filter(F.col("node") =!= F.col("comp"))
       .select(F.col("node").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** The end-to-end near-dup FILTER a training-data pipeline actually
+    * runs: detect pairs (minhash LSH over word shingles), cluster, keep
+    * only the min-id member per cluster. Pairs/components remain
+    * inspectable intermediates; `dropByPairs` is the generic tail for
+    * other detectors (simhash, embedding cosine). */
+  def dropNearDups(df: DataFrame, textCol: String, idCol: String,
+                   w: Int = 3, k: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame =
+    dropByPairs(df,
+      minhashDupPairs(df, textCol, idCol, w, k, bands, threshold,
+        maxBucket, cacheShingles = true),
+      idCol)
 
   /** SimHash near-dup pairs: identical 16-bit band ⇒ candidate; verified by
     * Hamming distance <= maxHamming.

@@ -167,6 +167,37 @@ class DedupSpec extends AnyFunSuite {
       s"planted mutants must be dropped, got ${survivors.filter(_ >= 1000)}")
   }
 
+  test("dropByPairs works with any pair detector (simhash) and broadcasts the anti-join") {
+    import spark.implicits._
+    val dups = base.take(10).map { case (id, text) =>
+      (id + 1000, text.replaceFirst("w\\d+", "changed")) }
+    val df = (base ++ dups).toDF("id", "text")
+    val pairs = Dedup.simhashDupPairs(df, "text", "id", maxHamming = 10)
+      .localCheckpoint(true)
+    // expected losers derived from the detector's OWN pair output, so this
+    // gates dropByPairs semantics (cluster -> keep min-id), not recall
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+    val expectedLosers = nodes.filter(n => find(n) != n)
+    assert(edges.nonEmpty && expectedLosers.exists(_ >= 1000L),
+      "fixture must plant at least one detectable mutant")
+    val result = Dedup.dropByPairs(df, pairs, "id")
+    val survivors = result.collect().map(_.getLong(0)).toSet
+    assert(survivors == df.collect().map(_.getLong(0)).toSet.diff(expectedLosers),
+      s"survivors must be corpus minus non-canonical members, got $survivors")
+    // the tiny loser set must reach the corpus as a BROADCAST anti-join
+    // (AQE runtime conversion), never a shuffled one
+    val planStr = result.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin") && planStr.contains("LeftAnti"),
+      s"expected broadcast left-anti join in final plan:\n$planStr")
+  }
+
   test("cacheShingles=true tokenizes each text exactly once (single text scan)") {
     import spark.implicits._
     val sc = spark.sparkContext
