@@ -642,6 +642,17 @@ object SparkEntry {
         .orderBy("modality")
     }),
 
+    // REAL image codec under the gate: deterministic grayscale PNGs are
+    // encoded AND decoded distributed via the JDK's javax.imageio; PNG is
+    // lossless, so the decoded pixel sum is restated as pure arithmetic
+    // in the oracle — this gates an actual codec roundtrip, not plumbing
+    "q53_mm_image_roundtrip" -> ((s, dir) =>
+      graft.mm.Multimodal.decodeImages(s, graft.mm.Multimodal.synthPngs(s, 200))
+        .toDF()
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("gray_sum"), col("valid"))
+        .orderBy("media_id")),
+
     // S4 LITERAL Arrow IPC scan: the documents table is round-tripped
     // through .arrow files (distributed one-file-per-partition write, then
     // a distributed IPC read) and aggregated — the oracle aggregates the
@@ -1041,6 +1052,21 @@ object SparkEntry {
           |             ('video', 666, 381411, 18183587, 666))
           | AS t(modality, n, sum_w, sum_dur, n_valid)
           |ORDER BY modality""".stripMargin,
+      // the synthPng pattern pixel(x,y) = (x*7+y*13+id*31) mod 256 restated
+      // as arithmetic over pixel coordinates (generate_series is INCLUSIVE
+      // of its upper bound in DuckDB, hence the -1s)
+      "q53_mm_image_roundtrip" ->
+        """WITH imgs AS (
+          |  SELECT i, 16 + i % 8 AS w, 16 + (i // 8) % 8 AS h
+          |  FROM generate_series(0, 199) AS t(i)),
+          |px AS (SELECT x FROM generate_series(0, 22) AS gx(x)),
+          |py AS (SELECT y FROM generate_series(0, 22) AS gy(y))
+          |SELECT i AS media_id, 'png' AS format,
+          | CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+          | CAST(sum((x * 7 + y * 13 + i * 31) % 256) AS BIGINT) AS gray_sum,
+          | TRUE AS valid
+          |FROM imgs, px, py WHERE x < w AND y < h
+          |GROUP BY i, w, h ORDER BY media_id""".stripMargin,
       // IVF restated in SQL: same md5-ordered seed centroids, same squared-
       // L2 argmin assignment (first-index tie-break via list_position),
       // same 2-probe selection, same cosine ranking.

@@ -22,6 +22,78 @@ class MultimodalSpec extends AnyFunSuite {
     assert(badMetas.forall(!_.valid), "corrupt header must be flagged, not crash")
   }
 
+  private def expectedGraySum(id: Long): Long = {
+    val w = 16 + (id % 8).toInt; val h = 16 + ((id / 8) % 8).toInt
+    (for (y <- 0 until h; x <- 0 until w) yield (x * 7 + y * 13 + id * 31) % 256).sum
+  }
+
+  test("REAL png codec roundtrip: dims and pixel sum exact (lossless)") {
+    val blob = Multimodal.synthPng(5L)
+    val m = Multimodal.decodeImage(5L, blob.payload)
+    assert(m.valid && m.format == "png")
+    assert(m.width == 16 + 5 && m.height == 16)
+    assert(m.gray_sum == expectedGraySum(5L))
+    // distributed path agrees with the local kernel
+    val metas = Multimodal.decodeImages(spark, Multimodal.synthPngs(spark, 30))
+      .collect().sortBy(_.media_id)
+    assert(metas.forall(m => m.valid && m.gray_sum == expectedGraySum(m.media_id)))
+  }
+
+  test("REAL jpeg and bmp decode via the JDK codecs") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(40, 24, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 24; x <- 0 until 40)
+      img.setRGB(x, y, ((x * 3) << 16) | ((y * 5) << 8) | ((x + y) & 0xff))
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+    }
+    val jm = Multimodal.decodeImage(1L, enc("jpg"))
+    assert(jm.valid && jm.format == "jpeg" && jm.width == 40 && jm.height == 24)
+    val bm = Multimodal.decodeImage(2L, enc("bmp"))
+    assert(bm.valid && bm.format == "bmp" && bm.width == 40 && bm.height == 24)
+    // BMP is lossless: band-mean sum must equal the same sum off the source
+    val r = img.getRaster
+    val srcSum = (for (y <- 0 until 24; x <- 0 until 40)
+      yield (0 until 3).map(b => r.getSample(x, y, b).toLong).sum / 3).sum
+    assert(bm.gray_sum == srcSum)
+  }
+
+  test("REAL wav decode: rate, channels, frames, exact duration") {
+    val blob = Multimodal.synthWav(7L)
+    assert(Multimodal.sniffFormat(blob.payload) == "wav")
+    val a = Multimodal.decodeWav(7L, blob.payload)
+    assert(a.valid && a.sample_rate == 8000 && a.channels == 1)
+    assert(a.frames == 800 + 7 * 8 && a.duration_ms == (800 + 7 * 8) / 8)
+    val dist = Multimodal.decodeWavs(spark,
+      spark.createDataset(Seq(blob, Multimodal.synthWav(12L)))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaBlob]))
+      .collect().sortBy(_.media_id)
+    assert(dist.forall(_.valid) && dist(1).frames == 800 + 12 * 8)
+  }
+
+  test("REAL thumbnail resize: fits bounds, never upscales, survives re-decode") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(100, 60, BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val thumb = Multimodal.thumbnail(bos.toByteArray, 32, 32)
+    val tm = Multimodal.decodeImage(0L, thumb)
+    assert(tm.valid && tm.format == "png" && tm.width == 32 && tm.height == 19)
+    val small = Multimodal.synthPng(0L) // 16x16 — already within bounds
+    val sm = Multimodal.decodeImage(0L, Multimodal.thumbnail(small.payload, 32, 32))
+    assert(sm.width == 16 && sm.height == 16, "must not upscale")
+  }
+
+  test("corrupt media yields valid=false, never a task failure") {
+    val png = Multimodal.synthPng(3L).payload
+    val truncated = png.take(png.length / 2)
+    assert(!Multimodal.decodeImage(3L, truncated).valid)
+    assert(!Multimodal.decodeWav(3L, Array[Byte](1, 2, 3, 4)).valid)
+    assert(Multimodal.thumbnail(Array[Byte](9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9), 8, 8) == null)
+    assert(Multimodal.sniffFormat(null) == "unknown")
+  }
+
   test("embeddings are deterministic and dimension-stable") {
     import spark.implicits._
     val blobs = Multimodal.synth(spark, 50, seed = 9L)
