@@ -269,14 +269,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(F.col("node").as("dst"), F.col("comp").as("dcomp")), "dst")
         .groupBy("src").agg(F.min("dcomp").as("ncomp"))
+      // carry the previous label through the checkpoint so convergence is
+      // a scan of materialized data — not an extra node-keyed join (which
+      // costs two more shuffles per round)
       val next = labels
         .join(nbrMin.withColumnRenamed("src", "node"), Seq("node"), "left")
-        .select(F.col("node"),
+        .select(F.col("node"), F.col("comp").as("__prev"),
           F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).as("comp"))
         .localCheckpoint(true) // materialize + truncate lineage
-      changed = next.join(labels.select(F.col("node"), F.col("comp").as("prev")), "node")
-        .filter(F.col("comp") =!= F.col("prev")).count()
-      labels = next
+      // least(comp, x) <= comp always, so "changed" is a strict decrease
+      changed = next.filter(F.col("comp") < F.col("__prev")).count()
+      labels = next.select(F.col("node"), F.col("comp"))
       iter += 1
     }
     require(changed == 0L,
