@@ -653,6 +653,15 @@ object SparkEntry {
           col("gray_sum"), col("valid"))
         .orderBy("media_id")),
 
+    // REAL frame sampling under the gate: every 2nd frame of deterministic
+    // animated GIFs, written AND decoded distributed via javax.imageio;
+    // indices pass through the gray palette unchanged, so per-frame pixel
+    // sums are again pure arithmetic in the oracle
+    "q54_mm_frame_sample" -> ((s, dir) =>
+      graft.mm.Multimodal.frameSampleAll(s, graft.mm.Multimodal.synthGifs(s, 60), 2)
+        .toDF()
+        .orderBy("media_id", "frame_idx")),
+
     // S4 LITERAL Arrow IPC scan: the documents table is round-tripped
     // through .arrow files (distributed one-file-per-partition write, then
     // a distributed IPC read) and aggregated — the oracle aggregates the
@@ -1067,6 +1076,21 @@ object SparkEntry {
           | TRUE AS valid
           |FROM imgs, px, py WHERE x < w AND y < h
           |GROUP BY i, w, h ORDER BY media_id""".stripMargin,
+      // synthGif frame pattern (x*7 + y*13 + i*31 + f*17) mod 256 restated
+      // over a (video x frame x pixel) grid; f % 2 = 0 is the everyN=2 sample
+      "q54_mm_frame_sample" ->
+        """WITH vids AS (
+          |  SELECT i, 12 + i % 6 AS w, 10 + (i // 6) % 6 AS h, 3 + i % 5 AS nf
+          |  FROM generate_series(0, 59) AS t(i)),
+          |fr AS (SELECT f FROM generate_series(0, 7) AS gf(f)),
+          |px AS (SELECT x FROM generate_series(0, 16) AS gx(x)),
+          |py AS (SELECT y FROM generate_series(0, 14) AS gy(y))
+          |SELECT i AS media_id, CAST(f AS INTEGER) AS frame_idx,
+          | CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+          | CAST(sum((x * 7 + y * 13 + i * 31 + f * 17) % 256) AS BIGINT) AS gray_sum
+          |FROM vids, fr, px, py
+          |WHERE f < nf AND f % 2 = 0 AND x < w AND y < h
+          |GROUP BY i, f, w, h ORDER BY media_id, frame_idx""".stripMargin,
       // IVF restated in SQL: same md5-ordered seed centroids, same squared-
       // L2 argmin assignment (first-index tie-break via list_position),
       // same 2-probe selection, same cosine ranking.

@@ -10,11 +10,14 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *    javax.imageio codecs (PNG/JPEG/BMP/GIF), no external libraries.
   *  - AUDIO: REAL — `decodeWav` parses WAV containers via the JDK's
   *    javax.sound.sampled.
-  *  - VIDEO: STUB — the JDK has no video codec and this container has no
-  *    media libraries; `decodeHeader` parses the deterministic synthetic
-  *    header and `embed` produces a hash-derived feature vector. Swapping
-  *    in a real codec (e.g. a JNI decoder) only replaces the marked
-  *    kernel body; the distributed plumbing is unchanged.
+  *  - VIDEO: frame sampling is REAL over animated GIF (`frameSample`,
+  *    the one multi-frame format the JDK reads and writes); codec-
+  *    compressed video (H.264 etc.) remains a STUB — the JDK has no such
+  *    codec and this container has no media libraries. `decodeHeader`
+  *    parses the deterministic synthetic header and `embed` produces a
+  *    hash-derived feature vector; swapping in a real codec (e.g. a JNI
+  *    decoder) only replaces the marked kernel body, the distributed
+  *    plumbing is unchanged.
   */
 object Multimodal {
 
@@ -279,5 +282,107 @@ object Multimodal {
   def decodeWavs(spark: SparkSession, blobs: Dataset[MediaBlob]): Dataset[AudioMeta] = {
     import spark.implicits._
     blobs.mapPartitions(_.map(b => decodeWav(b.media_id, b.payload)))
+  }
+
+  final case class VideoFrame(media_id: Long, frame_idx: Int, width: Int,
+                              height: Int, gray_sum: Long)
+
+  private def rasterGraySum(img: java.awt.image.BufferedImage): Long = {
+    val r = img.getRaster
+    val bands = r.getNumBands
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        var b = 0
+        var px = 0L
+        while (b < bands) { px += r.getSample(x, y, b); b += 1 }
+        sum += px / bands
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  /** REAL frame sampling over an animated container: every `everyN`-th
+    * frame of a multi-frame GIF, decoded via the JDK's javax.imageio
+    * sequence reader (the one animated format the JDK can both write and
+    * read; true video codecs — H.264 etc. — stay out of scope, no codec
+    * in the JDK or container). For 8-bit single-band input the GIF writer
+    * stores raster samples as palette indices unchanged, so the sampled
+    * frames' pixel sums are exact — q54 restates them as arithmetic.
+    * Undecodable payloads yield an empty list, never a throw. */
+  def frameSample(id: Long, p: Array[Byte], everyN: Int): Seq[VideoFrame] = {
+    require(everyN > 0, s"everyN must be positive: $everyN")
+    if (p == null) return Nil
+    var iis: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(p))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Nil
+      reader = readers.next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (0 until n by everyN).map { f =>
+        val img = reader.read(f)
+        VideoFrame(id, f, img.getWidth, img.getHeight, rasterGraySum(img))
+      }
+    } catch { case _: Exception => Nil }
+    finally {
+      if (reader != null) reader.dispose()
+      if (iis != null) iis.close()
+    }
+  }
+
+  /** Deterministic REAL animated GIF: 3 + id%5 grayscale frames, frame f
+    * pixel(x,y) = (x*7 + y*13 + id*31 + f*17) mod 256. */
+  def synthGif(id: Long): MediaBlob = {
+    val w = 12 + (id % 6).toInt
+    val h = 10 + ((id / 6) % 6).toInt
+    val nFrames = 3 + (id % 5).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, ((x * 7 + y * 13 + id * 31 + f * 17) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+          writer.getDefaultWriteParam)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    MediaBlob(id, "video", bos.toByteArray)
+  }
+
+  def synthGifs(spark: SparkSession, n: Long): Dataset[MediaBlob] = {
+    import spark.implicits._
+    spark.range(0, n).map(i => synthGif(i.toLong))
+  }
+
+  def frameSampleAll(spark: SparkSession, blobs: Dataset[MediaBlob],
+                     everyN: Int): Dataset[VideoFrame] = {
+    import spark.implicits._
+    blobs.flatMap(b => frameSample(b.media_id, b.payload, everyN))
   }
 }

@@ -85,6 +85,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sm.width == 16 && sm.height == 16, "must not upscale")
   }
 
+  test("REAL animated-gif frame sampling: every Nth frame, exact pixel sums") {
+    val blob = Multimodal.synthGif(13L) // 13 % 5 = 3 -> 6 frames; w=13, h=12
+    assert(Multimodal.sniffFormat(blob.payload) == "gif")
+    val frames = Multimodal.frameSample(13L, blob.payload, 2)
+    assert(frames.map(_.frame_idx) == Seq(0, 2, 4))
+    def expected(f: Int): Long =
+      (for (y <- 0 until 12; x <- 0 until 13)
+        yield (x * 7 + y * 13 + 13 * 31 + f * 17) % 256).sum
+    assert(frames.forall(v => v.width == 13 && v.height == 12 &&
+      v.gray_sum == expected(v.frame_idx)))
+    // everyN=1 yields all frames; distributed path agrees with local
+    assert(Multimodal.frameSample(13L, blob.payload, 1).size == 6)
+    val dist = Multimodal.frameSampleAll(spark, Multimodal.synthGifs(spark, 10), 3)
+      .collect().sortBy(v => (v.media_id, v.frame_idx))
+    val local = (0L until 10L).flatMap(i =>
+      Multimodal.frameSample(i, Multimodal.synthGif(i).payload, 3))
+    assert(dist.toSeq == local)
+    assert(Multimodal.frameSample(99L, Array[Byte](0, 1, 2), 2).isEmpty,
+      "garbage payload samples to empty, not a throw")
+  }
+
   test("corrupt media yields valid=false, never a task failure") {
     val png = Multimodal.synthPng(3L).payload
     val truncated = png.take(png.length / 2)
