@@ -295,6 +295,22 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n"))
         .orderBy("lang")),
 
+    // benchmark decontamination: a "benchmark" is built from a 16-word
+    // window of every 37th document, so exactly those source documents
+    // share an 8-gram with it and must be dropped; per-lang survivor
+    // counts under the gate
+    "q55_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def words(c: Column) =
+        filter(split(lower(c), "\\s+"), w => w =!= lit(""))
+      val bench = docs
+        .filter(col("doc_id") % 37 === 0 && size(words(col("text"))) >= 21)
+        .select(concat_ws(" ", slice(words(col("text")), 6, 16)).as("btext"))
+      graft.dedup.Dedup.decontaminate(docs, "text", "doc_id", bench, "btext", w = 8)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
     // SimHash near-dup pairs on planted dups (no SQL oracle)
     "q20_simhash_dups" -> ((s, dir) =>
       graft.dedup.Dedup.simhashDupPairs(docsWithPlantedDups(s, dir), "text", "doc_id",
@@ -1250,6 +1266,30 @@ object SparkEntry {
           |  WHERE node <> comp)
           |SELECT lang, count(*) AS n FROM d
           |WHERE doc_id NOT IN (SELECT node FROM losers)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // decontamination restated on word-shingle STRINGS (Spark side uses
+      // 64-bit hashes of the same shingles — equal iff strings equal):
+      // survivors are docs whose 8-gram set misses every benchmark 8-gram
+      "q55_decontaminate" ->
+        """WITH d AS (
+          |  SELECT doc_id, lang,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, lang,
+          |    (CASE WHEN len(ws) >= 8 THEN
+          |      list_distinct(list_transform(generate_series(1, len(ws) - 7),
+          |        i -> array_to_string(ws[i:i+7], ' ')))
+          |     WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
+          |     ELSE [] END) AS s
+          |  FROM d),
+          |bench AS (SELECT ws[6:21] AS bw FROM d WHERE doc_id % 37 = 0 AND len(ws) >= 21),
+          |bg AS (SELECT DISTINCT g FROM (
+          |  SELECT unnest(list_transform(generate_series(1, len(bw) - 7),
+          |    i -> array_to_string(bw[i:i+7], ' '))) AS g FROM bench))
+          |SELECT lang, count(*) AS n
+          |FROM sh, (SELECT list(g) AS bl FROM bg) b
+          |WHERE len(list_intersect(s, b.bl)) = 0
           |GROUP BY 1 ORDER BY 1""".stripMargin,
       // co-located bucketed join must equal the plain shuffled join
       "q48_bucketed_join" ->

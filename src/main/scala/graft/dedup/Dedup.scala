@@ -320,6 +320,32 @@ object Dedup {
         maxBucket, cacheShingles = true),
       idCol)
 
+  /** Benchmark DECONTAMINATION: drop every corpus document that shares at
+    * least one word w-shingle with any benchmark document — the standard
+    * defense against evaluation data leaking into a training corpus.
+    *
+    * Scale shape: a benchmark is small by definition (MBs against a
+    * 100 TB corpus), so its distinct shingle hashes are collected and
+    * broadcast as a Set and the corpus is filtered in a SINGLE scan with
+    * ZERO shuffles — no join, no exchange, embarrassingly parallel. The
+    * `maxBenchShingles` guard fails fast if someone passes a "benchmark"
+    * too big to broadcast (at that point it is corpus-vs-corpus overlap —
+    * use `minhashDupPairs`/`dropByPairs` instead). */
+  def decontaminate(corpus: DataFrame, textCol: String, idCol: String,
+                    benchmark: DataFrame, benchTextCol: String, w: Int = 8,
+                    maxBenchShingles: Int = 50000000): DataFrame = {
+    val grams = benchmark
+      .select(F.explode(shinglesUdf(F.col(benchTextCol), F.lit(w))).as("g"))
+      .distinct().collect().map(_.getLong(0))
+    require(grams.length <= maxBenchShingles,
+      s"benchmark has ${grams.length} distinct shingles > $maxBenchShingles — " +
+        "too large to broadcast; use minhashDupPairs/dropByPairs for corpus-vs-corpus overlap")
+    val bc = corpus.sparkSession.sparkContext.broadcast(grams.toSet)
+    val contaminated = F.udf((text: String) =>
+      shingleHashes(text, w).exists(bc.value.contains))
+    corpus.filter(!contaminated(F.col(textCol)))
+  }
+
   /** SimHash near-dup pairs: identical 16-bit band ⇒ candidate; verified by
     * Hamming distance <= maxHamming.
     *

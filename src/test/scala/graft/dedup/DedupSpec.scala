@@ -198,6 +198,32 @@ class DedupSpec extends AnyFunSuite {
       s"expected broadcast left-anti join in final plan:\n$planStr")
   }
 
+  test("decontaminate drops exactly the docs sharing an 8-gram with the benchmark, shuffle-free") {
+    import spark.implicits._
+    val corpus = base.toDF("id", "text")
+    // benchmark = a 10-word window from docs 0..4 -> 3 overlapping 8-grams each
+    val bench = base.take(5)
+      .map { case (_, text) => text.split(" ").slice(2, 12).mkString(" ") }
+      .toDF("btext")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val out = Dedup.decontaminate(corpus, "text", "id", bench, "btext", w = 8)
+      val ids = out.collect().map(_.getLong(0)).toSet
+      assert(ids == (5 until 40).map(_.toLong).toSet,
+        s"docs 0..4 are contaminated, rest survive; got $ids")
+      // the corpus side is ONE scan + filter: zero exchanges
+      val exchanges = out.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, "decontamination must not shuffle the corpus")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    intercept[IllegalArgumentException] {
+      Dedup.decontaminate(corpus, "text", "id", bench, "btext", w = 8,
+        maxBenchShingles = 1)
+    }
+  }
+
   test("cacheShingles=true tokenizes each text exactly once (single text scan)") {
     import spark.implicits._
     val sc = spark.sparkContext
