@@ -199,6 +199,17 @@ object SparkEntry {
           Seq("source"), Seq(0.25, 0.5, 0.75))
         .orderBy("source")),
 
+    // sequence packing: docs -> fixed token-budget training chunks by
+    // running token total per source shard (one keyed window shuffle,
+    // never a global order); per-chunk doc/token counts under the gate
+    "q56_seq_packing" -> ((s, dir) =>
+      graft.etl.Packing.packSequential(t(s, dir, "documents"),
+          tokenCount(col("text")), "source", "doc_id", 1000L)
+        .groupBy("source", "chunk_id")
+        .agg(count(lit(1)).as("n"),
+          sum(tokenCount(col("text")).cast("long")).as("toks"))
+        .orderBy("source", "chunk_id")),
+
     // BPE-ish token counting (regex pretokenizer match count) + stopword
     // hits — exact integer aggregates, both codegen'd built-ins (no UDF)
     "q45_token_budget" -> ((s, dir) =>
@@ -809,6 +820,15 @@ object SparkEntry {
           | quantile_cont(CAST(length(text) AS DOUBLE), 0.5) AS p50,
           | quantile_cont(CAST(length(text) AS DOUBLE), 0.75) AS p75
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      // chunk_id = floor(start_offset / budget) with start_offset = the
+      // running token sum before this doc, same window both engines
+      "q56_seq_packing" ->
+        s"""SELECT source, CAST(floor(start_tok / 1000.0) AS BIGINT) AS chunk_id,
+           | count(*) AS n, CAST(sum(tok) AS BIGINT) AS toks
+           |FROM (SELECT source, tok,
+           |        sum(tok) OVER (PARTITION BY source ORDER BY doc_id) - tok AS start_tok
+           |      FROM (SELECT source, doc_id, $tokSql AS tok FROM documents))
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "q45_token_budget" -> {
         val bpeRe = graft.functions.TextFunctions.BpeTokenRe.replace("'", "''")
         val stops = graft.functions.TextFunctions.Stopwords
