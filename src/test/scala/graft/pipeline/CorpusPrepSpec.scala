@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.dedup.Dedup
+
+class CorpusPrepSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  // alpha-only word soup ("w" + digits mapped to letters + ".") so the
+  // reference quality thresholds pass: letters ~0.67, punct ~0.16, no digits
+  private def word(seed: Long): String =
+    "w" + math.abs(Dedup.mix64(seed)).toString.take(5)
+      .map(c => ('a' + (c - '0')).toChar).mkString + "."
+
+  private def doc(i: Int): (String, Long, String) =
+    ("s" + (i % 2), i.toLong, (0 until 40).map(j => word(i * 1000L + j)).mkString(" "))
+
+  test("corpus prep: exact dup, near dup, contaminated, junk each drop at their stage") {
+    import spark.implicits._
+    val base = (0 until 40).map(doc)
+    val exactDup = ("s0", 100L, base(0)._3)
+    val nearDup = ("s1", 101L, base(1)._3.replaceFirst("w\\w+\\.", "changed."))
+    val junk = ("s0", 102L, "short")
+    val docs = (base :+ exactDup :+ nearDup :+ junk).toDF("shard", "id", "text")
+    // benchmark = a 10-word window of doc 2 -> 3 overlapping 8-grams
+    val bench = Seq(base(2)._3.split(" ").slice(3, 13).mkString(" ")).toDF("text")
+
+    val (packed, Some(rep)) = CorpusPrep.run(docs, "text", "id", "shard",
+      benchmark = Some(bench), tokenBudget = 100L, threshold = 0.5)
+
+    assert(rep.input == 43)
+    assert(rep.afterExactDedup == 42, "exact dup of doc 0 collapses")
+    assert(rep.afterNearDup == 41, "near dup of doc 1 drops")
+    assert(rep.afterDecontaminate == 40, "doc 2 shares benchmark 8-grams")
+    assert(rep.afterQuality == 39, "junk doc drops on length")
+    assert(rep.nChunks >= 2, s"40-token docs at budget 100 must span chunks, got ${rep.nChunks}")
+
+    val rows = packed.collect()
+    assert(rows.length == 39)
+    val ids = rows.map(r => r.getLong(r.fieldIndex("id"))).toSet
+    assert(!ids(100L) && !ids(101L) && !ids(102L) && !ids(2L) && ids(0L) && ids(1L))
+    assert(rows.forall(_.getLong(3) >= 0L), "every surviving doc gets a chunk_id")
+  }
+
+  test("report=false returns the same survivors without stage counts") {
+    import spark.implicits._
+    val docs = (0 until 20).map(doc).toDF("shard", "id", "text")
+    val (packed, rep) = CorpusPrep.run(docs, "text", "id", "shard",
+      tokenBudget = 100L, report = false)
+    assert(rep.isEmpty)
+    assert(packed.count() == 20)
+  }
+}
