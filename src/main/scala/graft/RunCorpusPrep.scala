@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.CorpusPrep
+
+/** spark-submit entry point for the corpus-prep composition
+  * (exact dedup -> near-dup drop -> decontaminate -> quality -> packing):
+  *
+  *   spark-submit --class graft.RunCorpusPrep <jar> \
+  *     --input <documents parquet dir/file> --output <dir> \
+  *     [--benchmark <parquet with a text column>] [--budget 2048] \
+  *     [--threshold 0.7] [--shard-col source] [--id-col doc_id] \
+  *     [--text-col text] [--no-report] [--local N]
+  *
+  * Writes the packed survivors partitioned by the shard column and prints
+  * one JSON status line with the per-stage survivor counts.
+  */
+object RunCorpusPrep {
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          m(a.drop(2)) = args(i + 1); i += 2
+        } else { m(a.drop(2)) = "true"; i += 1 }
+      } else i += 1
+    }
+    m.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opt = parseArgs(args)
+    val input = opt.getOrElse("input",
+      sys.error("--input <documents parquet> is required"))
+    val output = opt.getOrElse("output",
+      java.nio.file.Files.createTempDirectory("graft_prep").toString)
+    val textCol = opt.getOrElse("text-col", "text")
+    val idCol = opt.getOrElse("id-col", "doc_id")
+    val shardCol = opt.getOrElse("shard-col", "source")
+    val budget = opt.getOrElse("budget", "2048").toLong
+    val threshold = opt.getOrElse("threshold", "0.7").toDouble
+    val report = !opt.contains("no-report")
+
+    val spark: SparkSession = opt.get("local") match {
+      case Some(n) => GraftSession.local(n.toInt, "graft-corpus-prep")
+      case None =>
+        GraftSession.builder(
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-corpus-prep")
+          .getOrCreate()
+    }
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(input)
+    val benchmark = opt.get("benchmark").map(spark.read.parquet)
+    val (packed, rep) = CorpusPrep.run(docs, textCol, idCol, shardCol,
+      benchmark = benchmark, benchTextCol = textCol,
+      tokenBudget = budget, threshold = threshold, report = report)
+
+    packed.write.mode("overwrite").partitionBy(shardCol).parquet(output)
+
+    val repJson = rep match {
+      case Some(r) =>
+        s""""input":${r.input},"after_exact_dedup":${r.afterExactDedup},""" +
+          s""""after_near_dup":${r.afterNearDup},""" +
+          s""""after_decontaminate":${r.afterDecontaminate},""" +
+          s""""after_quality":${r.afterQuality},"n_chunks":${r.nChunks},"""
+      case None => ""
+    }
+    // one parseable status line, same contract as RunPipeline
+    println(s"""{"job":"graft-corpus-prep","output":"$output",$repJson"budget":$budget}""")
+    spark.stop()
+  }
+}

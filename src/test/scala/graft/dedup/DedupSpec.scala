@@ -155,6 +155,17 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size == 3 + 2 + 3 + 13, "only nodes appearing in pairs are emitted")
   }
 
+  test("components handles a hot-key star graph (skew shape) in two rounds") {
+    import spark.implicits._
+    // one hub connected to 3000 spokes — the worst-skew pair list a
+    // degenerate near-dup corpus can produce (all shuffles key on the hub)
+    val pairs = (1 to 3000).map(i => (0L, i.toLong)).toDF("id_a", "id_b")
+    val labels = Dedup.components(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 3001 && labels.forall(_._2 == 0L),
+      "every spoke joins the hub's component")
+  }
+
   test("dropNearDups removes planted mutants, keeps originals and non-dups") {
     import spark.implicits._
     val dups = base.take(10).map { case (id, text) =>
