@@ -178,7 +178,6 @@ object Dedup {
                       w: Int = 3, k: Int = 32, bands: Int = 8,
                       threshold: Double = 0.7, maxBucket: Int = 1000,
                       cacheShingles: Boolean = false): DataFrame = {
-    val rowsPerBand = k / bands
     // the signature, the banding, and the exact-Jaccard verify all work
     // from the shingle-HASH array, so the verify kernel never re-tokenizes
     // text: at high-recall band settings candidate pairs outnumber rows,
@@ -191,12 +190,25 @@ object Dedup {
     // fair trade even at 10^12 rows (spills to local disk, never OOMs).
     // Lifecycle: the cache lives until the session evicts it (LRU) or the
     // caller clears it; eviction only costs recompute, never correctness.
+    // (dropNearDups manages the lifecycle itself and unpersists once the
+    // pair list is materialized.)
     val shPlan = df.select(F.col(idCol),
       shinglesUdf(F.col(textCol), F.lit(w)).as("__sh"))
     val withSh =
       if (cacheShingles)
         shPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else shPlan
+    minhashPairsFromShingles(withSh, idCol, k, bands, threshold, maxBucket)
+  }
+
+  /** Core of minhashDupPairs over a prepared (id, __sh shingle-hash array)
+    * frame — split out so callers that persist the shingle projection can
+    * own its lifecycle (dropNearDups unpersists it after the pair list is
+    * materialized). */
+  private def minhashPairsFromShingles(withSh: DataFrame, idCol: String,
+                                       k: Int, bands: Int, threshold: Double,
+                                       maxBucket: Int): DataFrame = {
+    val rowsPerBand = k / bands
     val banded = withSh
       .withColumn("minhash", minhashOfShinglesUdf(F.col("__sh"), F.lit(k)))
       .select(
@@ -243,7 +255,18 @@ object Dedup {
     * are near-cliques; real-corpus diameters are single digits). Each
     * round shuffles only (node, label) pairs — 16 bytes/row — never text.
     * The per-round action (convergence count) is the deliberate trade for
-    * not over-iterating; `maxIter` bounds a pathological chain graph.
+    * not over-iterating; `maxIter` bounds a truly pathological graph.
+    *
+    * Large diameters: plain propagation needs diameter-many rounds, so a
+    * long CHAIN of pairwise-similar documents (each similar to the next,
+    * none similar to the first — rare but possible in templated corpora)
+    * would hit `maxIter` and abort a 100 TB job at the finish line. From
+    * round 3 on, each round therefore adds a POINTER-JUMPING step
+    * (label <- label(label): one extra (node,label)-sized join) which
+    * doubles the propagation distance per round — convergence in
+    * O(log diameter) rounds, so maxIter=25 covers diameters beyond 2^20.
+    * Near-clique clusters (the common near-dup case) still converge in
+    * <= 2 rounds and never pay the extra join.
     * Each round's result is localCheckpoint'ed: iterative self-joins
     * otherwise DOUBLE the logical plan per round (2^rounds analyzer blowup
     * — the classic iterative-DataFrame OOM), and at scale you'd recompute
@@ -272,12 +295,27 @@ object Dedup {
       // carry the previous label through the checkpoint so convergence is
       // a scan of materialized data — not an extra node-keyed join (which
       // costs two more shuffles per round)
-      val next = labels
+      val propagated = labels
         .join(nbrMin.withColumnRenamed("src", "node"), Seq("node"), "left")
         .select(F.col("node"), F.col("comp").as("__prev"),
           F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).as("comp"))
-        .localCheckpoint(true) // materialize + truncate lineage
-      // least(comp, x) <= comp always, so "changed" is a strict decrease
+      val next =
+        if (iter < 2) propagated.localCheckpoint(true)
+        else {
+          // pointer jumping (rounds 3+ only — a cluster still unconverged
+          // here has diameter > 2): label <- label(label). Every comp value
+          // is itself a node (labels are mins over node ids), so the
+          // self-join always hits; checkpoint first so the self-join reads
+          // materialized rows instead of re-running the propagation join.
+          val p = propagated.localCheckpoint(true)
+          p.join(p.select(F.col("node").as("comp"), F.col("comp").as("__j")),
+              Seq("comp"), "left")
+            .select(F.col("node"), F.col("__prev"),
+              F.coalesce(F.col("__j"), F.col("comp")).as("comp"))
+            .localCheckpoint(true)
+        }
+      // labels only ever decrease (least/label-of-label), so "changed" is a
+      // strict decrease
       changed = next.filter(F.col("comp") < F.col("__prev")).count()
       labels = next.select(F.col("node"), F.col("comp"))
       iter += 1
@@ -314,11 +352,20 @@ object Dedup {
     * other detectors (simhash, embedding cosine). */
   def dropNearDups(df: DataFrame, textCol: String, idCol: String,
                    w: Int = 3, k: Int = 32, bands: Int = 8,
-                   threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame =
-    dropByPairs(df,
-      minhashDupPairs(df, textCol, idCol, w, k, bands, threshold,
-        maxBucket, cacheShingles = true),
-      idCol)
+                   threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    // own the shingle cache's lifecycle: dropByPairs -> components eagerly
+    // materializes the pair list (localCheckpoint), after which the cached
+    // shingle projection is dead weight — unpersist it here rather than
+    // pinning ~1-2% of corpus text in the session cache until LRU eviction
+    val withSh = df.select(F.col(idCol),
+        shinglesUdf(F.col(textCol), F.lit(w)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = minhashPairsFromShingles(withSh, idCol, k, bands,
+        threshold, maxBucket)
+      dropByPairs(df, pairs, idCol)
+    } finally withSh.unpersist(false)
+  }
 
   /** Benchmark DECONTAMINATION: drop every corpus document that shares at
     * least one word w-shingle with any benchmark document — the standard
@@ -326,23 +373,38 @@ object Dedup {
     *
     * Scale shape: a benchmark is small by definition (MBs against a
     * 100 TB corpus), so its distinct shingle hashes are collected and
-    * broadcast as a Set and the corpus is filtered in a SINGLE scan with
+    * broadcast and the corpus is filtered in a SINGLE scan with
     * ZERO shuffles — no join, no exchange, embarrassingly parallel. The
     * `maxBenchShingles` guard fails fast if someone passes a "benchmark"
     * too big to broadcast (at that point it is corpus-vs-corpus overlap —
-    * use `minhashDupPairs`/`dropByPairs` instead). */
+    * use `minhashDupPairs`/`dropByPairs` instead).
+    *
+    * Driver/executor memory: the guard runs BEFORE materialization (the
+    * collect is capped at maxBenchShingles+1 rows, so an oversized
+    * benchmark fails on the cap, never by OOMing the driver first), and
+    * the broadcast is a SORTED primitive Array[Long] probed by binary
+    * search — 8 bytes/shingle flat (~400 MB at the 50M default cap),
+    * not the 40+ bytes/entry a boxed Set[Long] costs. Membership per
+    * corpus shingle is O(log n) over cache-friendly sorted longs. */
   def decontaminate(corpus: DataFrame, textCol: String, idCol: String,
                     benchmark: DataFrame, benchTextCol: String, w: Int = 8,
                     maxBenchShingles: Int = 50000000): DataFrame = {
-    val grams = benchmark
+    val rows = benchmark
       .select(F.explode(shinglesUdf(F.col(benchTextCol), F.lit(w))).as("g"))
-      .distinct().collect().map(_.getLong(0))
-    require(grams.length <= maxBenchShingles,
-      s"benchmark has ${grams.length} distinct shingles > $maxBenchShingles — " +
+      .distinct().limit(maxBenchShingles + 1).collect()
+    require(rows.length <= maxBenchShingles,
+      s"benchmark has > $maxBenchShingles distinct shingles " +
+        s"(~${maxBenchShingles.toLong * 8 / (1 << 20)} MB broadcast cap) — " +
         "too large to broadcast; use minhashDupPairs/dropByPairs for corpus-vs-corpus overlap")
-    val bc = corpus.sparkSession.sparkContext.broadcast(grams.toSet)
-    val contaminated = F.udf((text: String) =>
-      shingleHashes(text, w).exists(bc.value.contains))
+    val grams = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) { grams(i) = rows(i).getLong(0); i += 1 }
+    java.util.Arrays.sort(grams)
+    val bc = corpus.sparkSession.sparkContext.broadcast(grams)
+    val contaminated = F.udf { (text: String) =>
+      val g = bc.value
+      shingleHashes(text, w).exists(h => java.util.Arrays.binarySearch(g, h) >= 0)
+    }
     corpus.filter(!contaminated(F.col(textCol)))
   }
 

@@ -155,6 +155,36 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size == 3 + 2 + 3 + 13, "only nodes appearing in pairs are emitted")
   }
 
+  test("components converges on a chain far beyond maxIter via pointer jumping") {
+    import spark.implicits._
+    // a 201-node chain (diameter 200 >> maxIter=25): plain hash-min
+    // propagation needs 200 rounds; pointer jumping doubles the reach per
+    // round from round 3 on, so this converges in O(log 200) rounds
+    val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 201 && got.forall(_._2 == 0L),
+      "every chain node must reach label 0")
+  }
+
+  test("decontaminate scales to a multi-million-shingle benchmark (primitive broadcast)") {
+    import spark.implicits._
+    // benchmark: 200 docs x ~5000 words -> ~1M distinct 8-gram shingles,
+    // built from a disjoint token space so only the planted doc overlaps
+    val benchTexts = (0 until 200).map(i =>
+      (0 until 5000).map(j => s"b${(Dedup.mix64(i * 100000L + j) & Long.MaxValue) % 10000000}")
+        .mkString(" "))
+    // corpus doc 0 embeds an 8-word window of benchmark doc 0; others don't
+    val window = benchTexts.head.split(" ").slice(100, 108).mkString(" ")
+    val corpus = ((0L, s"prefix words here $window suffix words") +:
+      base.map { case (id, t) => (id + 1, t) }).toDF("id", "text")
+    val bench = benchTexts.toDF("btext")
+    val out = Dedup.decontaminate(corpus, "text", "id", bench, "btext", w = 8)
+    val ids = out.collect().map(_.getLong(0)).toSet
+    assert(!ids(0L), "the doc sharing an 8-gram with the benchmark must drop")
+    assert(ids.size == base.size, "all clean docs survive")
+  }
+
   test("components handles a hot-key star graph (skew shape) in two rounds") {
     import spark.implicits._
     // one hub connected to 3000 spokes — the worst-skew pair list a
