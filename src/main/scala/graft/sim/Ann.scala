@@ -241,37 +241,63 @@ object Ann {
     * (embedding-cosine near-dup detection). Exact cosine verifies each
     * candidate pair; only same-bucket pairs are compared.
     *
-    * All math in double (floats promoted before multiply/square, exactly
-    * like cosineTo) so threshold-boundary pairs agree with the brute-force
-    * oracle; zero-norm rows get cosine -1.0 (never NaN). Hot buckets are
-    * capped at `maxBucket` rows with an observe metric — same quadratic
-    * defense as Dedup.minhashDupPairs. */
+    * Recall lever — `signatures` INDEPENDENT sign-bit signatures
+    * (hyperplane sets seeded seed+i), OR-amplified: a pair is a candidate
+    * if it collides in ANY signature's bucket. This is the same
+    * amplification structure as minhash banding: per-signature collision
+    * probability for angle θ is (1-θ/π)^nBits, so raising nBits (needed at
+    * scale to keep buckets small) costs recall per signature — adding
+    * signatures buys it back as 1-(1-p)^r without touching bucket sizes.
+    *
+    * Scale shape: the banded self-join shuffles ONLY (signature, bucket,
+    * id) rows — 20 bytes/row/signature, never the embedding vectors (256+
+    * bytes each); candidates are deduped on ids across signatures BEFORE
+    * the exact-cosine verify, and vectors+norms are re-attached to the
+    * (small) candidate set by two id-joins. All verify math in double
+    * (floats promoted, exactly like cosineTo) so threshold-boundary pairs
+    * agree with the brute-force oracle; zero-norm rows get cosine -1.0
+    * (never NaN). Hot buckets are capped at `maxBucket` rows per
+    * (signature, bucket) with an observe metric — same quadratic defense
+    * as Dedup.minhashDupPairs. */
   def cosineDupPairs(df: DataFrame, embCol: String, idCol: String,
                      threshold: Double, nBits: Int = 10, seed: Long = 42L,
-                     dim: Int = 64, maxBucket: Int = 1000): DataFrame = {
-    val indexed = withLshBucket(df.select(F.col(idCol), F.col(embCol)), embCol, nBits, seed, dim)
-    val wB = Window.partitionBy("lsh_bucket").orderBy(F.col(idCol))
-    val capped = indexed.withColumn("__bn", F.row_number().over(wB))
+                     dim: Int = 64, maxBucket: Int = 1000,
+                     signatures: Int = 4): DataFrame = {
+    require(signatures >= 1, s"signatures must be >= 1: $signatures")
+    val base = df.select(F.col(idCol), F.col(embCol))
+    val planesAll = Array.tabulate(signatures)(i => hyperplanes(dim, nBits, seed + i))
+    val sigsUdf = F.udf((v: Array[Float]) => planesAll.map(p => signature(v, p)))
+    val banded = base.select(F.col(idCol),
+      F.posexplode(sigsUdf(F.col(embCol))).as(Seq("sig_idx", "lsh_bucket")))
+    val wB = Window.partitionBy("sig_idx", "lsh_bucket").orderBy(F.col(idCol))
+    val capped = banded.withColumn("__bn", F.row_number().over(wB))
       .observe("cosine_dup_caps",
         F.sum((F.col("__bn") > maxBucket).cast("long")).as("capped_rows"))
       .filter(F.col("__bn") <= maxBucket).drop("__bn")
+    val ca = capped.select(F.col("sig_idx"), F.col("lsh_bucket"), F.col(idCol).as("id_a"))
+    val cb = capped.select(F.col("sig_idx"), F.col("lsh_bucket"), F.col(idCol).as("id_b"))
+    // dedupe candidates on ids across signatures/buckets BEFORE the verify:
+    // a true near-pair collides in many signatures and would otherwise be
+    // cosine-verified once per collision
+    val candidates = ca.join(cb, Seq("sig_idx", "lsh_bucket"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .select("id_a", "id_b").distinct()
     def asD(c: Column) = F.transform(c, x => x.cast("double"))
-    // norms are per-ROW quantities: compute them once before the self-join
+    // norms are per-ROW quantities: compute them once before the re-attach
     // instead of twice per candidate pair
     def norm(c: Column) = F.sqrt(F.aggregate(F.transform(asD(c), x => x * x), F.lit(0.0), (acc, x) => acc + x))
-    val withNorm = capped.withColumn("__nrm", norm(F.col(embCol)))
-    val a = withNorm.select(F.col("lsh_bucket"), F.col(idCol).as("id_a"),
+    val withNorm = base.withColumn("__nrm", norm(F.col(embCol)))
+    val ta = withNorm.select(F.col(idCol).as("id_a"),
       F.col(embCol).as("emb_a"), F.col("__nrm").as("nrm_a"))
-    val b = withNorm.select(F.col("lsh_bucket"), F.col(idCol).as("id_b"),
+    val tb = withNorm.select(F.col(idCol).as("id_b"),
       F.col(embCol).as("emb_b"), F.col("__nrm").as("nrm_b"))
     val dot = F.aggregate(F.zip_with(asD(F.col("emb_a")), asD(F.col("emb_b")), (x, y) => x * y),
       F.lit(0.0), (acc, x) => acc + x)
-    a.join(b, Seq("lsh_bucket"))
-      .filter(F.col("id_a") < F.col("id_b"))
+    candidates
+      .join(ta, "id_a").join(tb, "id_b")
       .select(F.col("id_a"), F.col("id_b"),
         F.when(F.col("nrm_a") === 0.0 || F.col("nrm_b") === 0.0, F.lit(-1.0))
           .otherwise(dot / (F.col("nrm_a") * F.col("nrm_b"))).as("cosine"))
       .filter(F.col("cosine") >= threshold)
-      .distinct()
   }
 }

@@ -134,6 +134,60 @@ class AnnSpec extends AnyFunSuite {
     assert(all.forall(r => !r.getDouble(2).isNaN))
   }
 
+  test("cosine dup pairs: OR-amplified signatures recover recall at production nBits") {
+    import spark.implicits._
+    // 100 planted near-dup pairs (twin = base + small noise, cosine ~0.99)
+    // among mutually-unrelated random vectors. At nBits=10 a SINGLE
+    // signature's collision probability for theta(0.99) ~ (1-0.045)^10 ~
+    // 0.63 — the round-3 design's recall ceiling; 4 OR-amplified
+    // signatures lift it to ~1-(1-0.63)^4 ~ 0.98 without touching bucket
+    // sizes.
+    def rvec(seed: Long): Array[Float] = {
+      val r = new java.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    def twin(v: Array[Float], seed: Long): Array[Float] = {
+      val r = new java.util.Random(seed)
+      v.map(x => x + (r.nextGaussian() * 0.05).toFloat)
+    }
+    val bases = (0 until 100).map(i => (i.toLong, rvec(1000L + i)))
+    val twins = bases.map { case (id, v) => (id + 1000L, twin(v, 2000L + id)) }
+    val df = (bases ++ twins).toDF("vec_id", "embedding").cache()
+    def recallAt(sigs: Int): Double = {
+      val got = Ann.cosineDupPairs(df, "embedding", "vec_id", threshold = 0.9,
+        nBits = 10, seed = 42L, dim = dim, signatures = sigs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      bases.count { case (id, _) => got((id, id + 1000L)) }.toDouble / bases.size
+    }
+    val single = recallAt(1)
+    val multi = recallAt(4)
+    assert(multi >= 0.85, s"multi-signature recall $multi")
+    assert(multi > single,
+      s"OR-amplification must beat a single signature: $multi vs $single")
+  }
+
+  test("cosine dup pairs: banded exchange carries ids only — never the embeddings") {
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "embedding")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val pairs = Ann.cosineDupPairs(df, "embedding", "vec_id",
+        threshold = 0.95, nBits = 8, seed = 4L, dim = dim)
+      val exchanges = pairs.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      val banded = exchanges.filter(_.output.exists(_.name == "lsh_bucket"))
+      assert(banded.nonEmpty, "expected sig/bucket exchanges in the plan")
+      banded.foreach { e =>
+        val arrayCols = e.output.filter(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]).map(_.name)
+        assert(arrayCols.isEmpty,
+          s"banded exchange must not shuffle embedding arrays, found: $arrayCols")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("cosine near-dup pairs stay within clusters") {
     import spark.implicits._
     val df = rows.take(50).toDF("vec_id", "embedding") // clusters 0 and 1
