@@ -15,8 +15,16 @@ import org.apache.spark.sql.{Dataset, Encoder}
   *  - ONE process per partition, reused for every row in it (process
   *    startup is milliseconds-to-seconds; per-row spawn would dominate).
   *  - Strictly ORDERED lockstep request/response: write one line, flush,
-  *    read one line. No pipelining buffer to deadlock on, and the i-th
-  *    response provably belongs to the i-th request.
+  *    read one line. No request pipelining, and the i-th response provably
+  *    belongs to the i-th request.
+  *  - CHILD CONTRACT: the predictor must write AND FLUSH exactly one line
+  *    per request. Most runtimes block-buffer stdout when it is a pipe
+  *    (Python needs `flush=True`/`-u`, Node needs nothing for
+  *    `console.log` on pipes >= v12 but C stdio needs `fflush`), and an
+  *    unflushed child stalls the lockstep read — which is why every
+  *    response read carries a liveness/timeout watchdog
+  *    (`responseTimeoutMs`) that FAILS the task with a diagnosable error
+  *    instead of hanging it forever.
   *  - Cleanup via both iterator exhaustion AND a task-completion listener,
   *    so a failed/cancelled task never leaks the child process.
   *
@@ -70,12 +78,35 @@ object ExternalProcess {
     b.toString
   }
 
+  /** Wait for one response line with a liveness watchdog: a child that
+    * block-buffers its stdout (or dies mid-stream) fails the task with a
+    * diagnosable error instead of hanging the partition forever.
+    * `ready()` guarantees at least one buffered char, so the subsequent
+    * readLine cannot block indefinitely on a line-at-a-time child. */
+  private def readResponse(fromProc: BufferedReader, proc: Process,
+                           timeoutMs: Long, what: => String): String = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (!fromProc.ready()) {
+      if (!proc.isAlive && !fromProc.ready()) return fromProc.readLine()
+      if (System.nanoTime() > deadline)
+        throw new java.io.IOException(
+          s"external process response timed out after ${timeoutMs} ms at $what — " +
+            "the child must write AND FLUSH one line per request " +
+            "(block-buffered stdout stalls the lockstep protocol)")
+      Thread.sleep(2)
+    }
+    fromProc.readLine()
+  }
+
   /** Map `(id, text)` rows through an external process, one process per
-    * partition. Each row is sent as one line `{"id":<id>,"text":"<esc>"}`;
-    * the process must answer with exactly one line per request, returned
-    * verbatim as the `response` field.
+    * partition. Each row is sent as one line `{"id":<id>,"text":"<esc>"}`
+    * (a null text is sent as the empty string); the process must answer
+    * with exactly one FLUSHED line per request, returned verbatim as the
+    * `response` field. A child that stalls longer than `responseTimeoutMs`
+    * on any response fails the task rather than hanging it.
     */
-  def mapWithProcess(ds: Dataset[(Long, String)], command: Seq[String])(
+  def mapWithProcess(ds: Dataset[(Long, String)], command: Seq[String],
+                     responseTimeoutMs: Long = 120000L)(
       implicit enc: Encoder[(Long, String, String)]): Dataset[(Long, String, String)] =
     ds.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
@@ -107,10 +138,12 @@ object ExternalProcess {
           def hasNext: Boolean = { val h = it.hasNext; if (!h) shutdown(); h }
           def next(): (Long, String, String) = {
             val (id, text) = it.next()
-            toProc.write(s"""{"id":$id,"text":"${jsonEscape(text)}"}""")
+            val safe = if (text == null) "" else text
+            toProc.write(s"""{"id":$id,"text":"${jsonEscape(safe)}"}""")
             toProc.newLine()
             toProc.flush()
-            val resp = fromProc.readLine()
+            val resp = readResponse(fromProc, proc, responseTimeoutMs,
+              s"${command.head} id=$id")
             require(resp != null,
               s"external process ${command.head} closed its stdout at id=$id")
             (id, text, resp)

@@ -24,9 +24,10 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
 object Quantiles {
 
   private def colName(q: Double): String = {
-    val pct = q * 100
-    val s = if (pct == math.rint(pct)) f"${pct.toLong}%d"
-            else pct.toString.replace('.', '_')
+    // exact-decimal arithmetic: 0.05*100 in doubles is 5.000000000000001,
+    // which would leak into the column name as "p5_000000000000001"
+    val pct = BigDecimal(q.toString) * 100
+    val s = pct.underlying.stripTrailingZeros.toPlainString.replace(".", "_")
     s"p$s"
   }
 
@@ -66,9 +67,17 @@ object Quantiles {
                        lo: Double, hi: Double,
                        accuracy: Int = 10000): DataFrame = {
     require(lo <= hi, s"lo $lo must be <= hi $hi")
-    val cuts = approx(df, metric, groupCols, Seq(lo, hi), accuracy)
-      .withColumnRenamed(colName(lo), "__lo")
-      .withColumnRenamed(colName(hi), "__hi")
+    // lo == hi would alias two aggregates identically (the band collapses
+    // to one cutoff) — compute it once and use it as both bounds
+    val cuts =
+      if (lo == hi)
+        approx(df, metric, groupCols, Seq(lo), accuracy)
+          .withColumn("__lo", F.col(colName(lo)))
+          .withColumnRenamed(colName(lo), "__hi")
+      else
+        approx(df, metric, groupCols, Seq(lo, hi), accuracy)
+          .withColumnRenamed(colName(lo), "__lo")
+          .withColumnRenamed(colName(hi), "__hi")
     val joined =
       if (groupCols.isEmpty) df.crossJoin(F.broadcast(cuts))
       else df.join(F.broadcast(cuts), groupCols)

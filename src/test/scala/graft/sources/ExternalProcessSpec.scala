@@ -44,6 +44,28 @@ class ExternalProcessSpec extends AnyFunSuite {
     }
   }
 
+  test("a silent (never-flushing) child fails the task within the timeout, not a hang") {
+    import spark.implicits._
+    val silent = Seq("/bin/sh", "-c", "while IFS= read -r l; do :; done") // reads, never answers
+    val ds = spark.range(3).map(i => (i.toLong, s"t$i")).coalesce(1)
+    val t0 = System.nanoTime()
+    val ex = intercept[org.apache.spark.SparkException] {
+      ExternalProcess.mapWithProcess(ds, silent, responseTimeoutMs = 1500L).collect()
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 30.0, s"must fail fast, took $sec s")
+    assert(ex.getMessage.contains("timed out") || Option(ex.getCause).exists(
+      _.getMessage.contains("timed out")), s"diagnosable timeout error, got: ${ex.getMessage}")
+  }
+
+  test("null text is sent as the empty string instead of NPEing the partition") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq((0L, null: String), (1L, "ok"))).coalesce(1)
+    val out = ExternalProcess.mapWithProcess(ds, pidEcho).collect().sortBy(_._1)
+    assert(out(0)._3.split(" ", 2)(1) == """{"id":0,"text":""}""")
+    assert(out(1)._3.split(" ", 2)(1) == """{"id":1,"text":"ok"}""")
+  }
+
   test("newlines/tabs/quotes in text survive the line framing") {
     import spark.implicits._
     val tricky = Seq(

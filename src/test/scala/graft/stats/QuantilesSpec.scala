@@ -51,6 +51,22 @@ class QuantilesSpec extends AnyFunSuite {
       s"cutoff table must broadcast, never shuffle the corpus:\n$planStr")
   }
 
+  test("fractional quantile column names come from exact decimals, not double arithmetic") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("x", i)).toDF("g", "v")
+    // 0.05*100 in doubles is 5.000000000000001 — the name must still be p5
+    val cols = Quantiles.exact(df, F.col("v"), Seq("g"), Seq(0.05, 0.5, 0.999)).columns
+    assert(cols.toSeq == Seq("g", "p5", "p50", "p99_9"), cols.toSeq.toString)
+  }
+
+  test("keepQuantileBand with lo == hi keeps the single cutoff value") {
+    import spark.implicits._
+    val df = (1 to 99).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val kept = Quantiles.keepQuantileBand(df, F.col("v"), Seq("g"), 0.5, 0.5)
+      .collect().map(_.getDouble(1))
+    assert(kept.toSeq == Seq(50.0), s"exactly the median row survives, got ${kept.toSeq}")
+  }
+
   test("global (ungrouped) quantiles work and reject bad fractions") {
     import spark.implicits._
     val df = (1 to 9).map(i => ("x", i)).toDF("g", "v")
