@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, Observation, functions => F}
+import org.apache.spark.sql.expressions.Window
 
 import graft.dedup.Dedup
 import graft.etl.Packing
@@ -20,8 +21,11 @@ import graft.quality.Rules
   * Scale shape: stages 1–2 shuffle ids/hashes only, stage 3 is a
   * shuffle-free broadcast filter, stage 4 is a narrow filter, stage 5 is
   * one shard-keyed window. With `report=true` the heavy intermediates are
-  * localCheckpoint'ed so each stage count is a scan, not a recompute;
-  * `report=false` skips the counts and fuses the prep into one job.
+  * localCheckpoint'ed and every stage count rides those SAME jobs as an
+  * `observe` metric (CollectMetrics accumulators) — the report is FREE:
+  * zero extra jobs, no re-scan of the raw input (CorpusPrepSpec asserts
+  * the job count). `report=false` skips checkpoints and counts entirely
+  * and fuses the prep into one lazy job for the caller's sink.
   */
 object CorpusPrep {
 
@@ -35,29 +39,71 @@ object CorpusPrep {
           threshold: Double = 0.7,
           report: Boolean = true): (DataFrame, Option[Report]) = {
     val text = F.col(textCol)
-    def checkpointed(df: DataFrame): DataFrame =
-      if (report) df.localCheckpoint(true) else df
-
-    val d1 = checkpointed(Dedup.exact(docs, textCol, idCol))
-    val d2 = checkpointed(Dedup.dropNearDups(d1, textCol, idCol,
-      w = w, k = k, bands = bands, threshold = threshold))
-    val d3 = benchmark match {
-      case Some(b) =>
-        checkpointed(Dedup.decontaminate(d2, textCol, idCol, b, benchTextCol))
-      case None => d2
+    def count1 = F.count(F.lit(1)).as("n")
+    def junkFree(df: DataFrame): DataFrame = {
+      val total = F.length(text).cast("double")
+      def ratio(c: Column) = F.when(F.length(text) === 0, 0.0).otherwise(c / total)
+      df.filter(!Rules.isJunkCol(F.length(text),
+        TextFunctions.lineCount(text), ratio(TextFunctions.letterCount(text)),
+        ratio(TextFunctions.punctCount(text)), ratio(TextFunctions.digitCount(text))))
     }
-    val total = F.length(text).cast("double")
-    def ratio(c: Column) = F.when(F.length(text) === 0, 0.0).otherwise(c / total)
-    val d4 = d3.filter(!Rules.isJunkCol(F.length(text),
-      TextFunctions.lineCount(text), ratio(TextFunctions.letterCount(text)),
-      ratio(TextFunctions.punctCount(text)), ratio(TextFunctions.digitCount(text))))
-    val packed = Packing.packSequential(d4, TextFunctions.tokenCount(text),
-      shardCol, idCol, tokenBudget)
+    def pack(df: DataFrame): DataFrame =
+      Packing.packSequential(df, TextFunctions.tokenCount(text),
+        shardCol, idCol, tokenBudget)
 
-    val rep =
-      if (!report) None
-      else Some(Report(docs.count(), d1.count(), d2.count(), d3.count(),
-        d4.count(), packed.select(shardCol, "chunk_id").distinct().count()))
-    (packed, rep)
+    if (!report) {
+      val d1 = Dedup.exact(docs, textCol, idCol)
+      val d2 = Dedup.dropNearDups(d1, textCol, idCol,
+        w = w, k = k, bands = bands, threshold = threshold)
+      val d3 = benchmark match {
+        case Some(b) => Dedup.decontaminate(d2, textCol, idCol, b, benchTextCol)
+        case None => d2
+      }
+      (pack(junkFree(d3)), None)
+    } else {
+      // each Observation below is filled by the eager localCheckpoint of
+      // the frame it is attached to (checkpoint executes the observed plan
+      // under a SQL execution, so CollectMetrics accumulators report) —
+      // the input count rides d1's job via the observe on `docs`, which
+      // Dedup.exact scans exactly once
+      val obsIn = Observation(); val obs1 = Observation()
+      val obs2 = Observation(); val obs3 = Observation()
+      val obs4 = Observation(); val obsChunks = Observation()
+
+      val d1 = Dedup.exact(docs.observe(obsIn, count1), textCol, idCol)
+        .observe(obs1, count1).localCheckpoint(true)
+      val d2 = Dedup.dropNearDups(d1, textCol, idCol,
+          w = w, k = k, bands = bands, threshold = threshold)
+        .observe(obs2, count1).localCheckpoint(true)
+      val d3 = benchmark match {
+        case Some(b) =>
+          Dedup.decontaminate(d2, textCol, idCol, b, benchTextCol)
+            .observe(obs3, count1).localCheckpoint(true)
+        case None => d2
+      }
+      val d4 = junkFree(d3).observe(obs4, count1)
+      // chunk heads (first doc of each chunk) over the SAME window spec the
+      // packing itself used — Catalyst reuses its sort/exchange, and
+      // sum(head) is then an observable chunk count (observe cannot do
+      // count-distinct)
+      val wShard = Window.partitionBy(shardCol).orderBy(idCol)
+      val packed = pack(d4)
+        .withColumn("__head",
+          (F.lag("chunk_id", 1).over(wShard).isNull ||
+            F.lag("chunk_id", 1).over(wShard) =!= F.col("chunk_id")).cast("long"))
+        .observe(obsChunks, F.sum("__head").as("n"))
+        .drop("__head")
+        .localCheckpoint(true)
+
+      def n(o: Observation): Long = o.get.get("n") match {
+        case Some(v: java.lang.Number) => v.longValue()
+        case _ => 0L // sum over zero rows observes null
+      }
+      val after3 = benchmark match {
+        case Some(_) => n(obs3)
+        case None => n(obs2)
+      }
+      (packed, Some(Report(n(obsIn), n(obs1), n(obs2), after3, n(obs4), n(obsChunks))))
+    }
   }
 }

@@ -45,6 +45,41 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(3) >= 0L), "every surviving doc gets a chunk_id")
   }
 
+  test("the report is free: stage counts ride the checkpoint jobs, zero extra jobs") {
+    import spark.implicits._
+    val base = (0 until 30).map(doc)
+    val docs = base.toDF("shard", "id", "text")
+    val bench = Seq(base(2)._3.split(" ").slice(3, 13).mkString(" ")).toDF("text")
+    def countJobs(f: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { f; Thread.sleep(500) } // let queued listener events drain
+      finally spark.sparkContext.removeSparkListener(listener)
+      counter.get()
+    }
+    // baseline: identical pipeline with NO report, materialized by one
+    // final checkpoint — the same data flows through the same internal
+    // jobs (components rounds, pair checkpoints), so any report overhead
+    // beyond the three intermediate stage checkpoints is extra jobs
+    val jobsNoReport = countJobs {
+      val (packed, _) = CorpusPrep.run(docs, "text", "id", "shard",
+        benchmark = Some(bench), tokenBudget = 100L, threshold = 0.5, report = false)
+      packed.localCheckpoint(true)
+    }
+    val jobsReport = countJobs {
+      CorpusPrep.run(docs, "text", "id", "shard",
+        benchmark = Some(bench), tokenBudget = 100L, threshold = 0.5, report = true)
+    }
+    assert(jobsReport <= jobsNoReport + 3,
+      s"report must add only the 3 intermediate checkpoints (observe rides them): " +
+        s"$jobsReport vs baseline $jobsNoReport — the old design issued 6 count jobs on top")
+  }
+
   test("report=false returns the same survivors without stage counts") {
     import spark.implicits._
     val docs = (0 until 20).map(doc).toDF("shard", "id", "text")
