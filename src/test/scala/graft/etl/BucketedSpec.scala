@@ -39,6 +39,41 @@ class BucketedSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("cached write: warm fingerprint skips the rewrite, keeps the zero-exchange plan") {
+    val (left, right) = mkData()
+    Bucketed.writeBucketedCached(left, "bspec_cl", "k", nBuckets = 8, fingerprint = "fpA")
+    Bucketed.writeBucketedCached(right, "bspec_cr", "k", nBuckets = 8, fingerprint = "fpA")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "bspec_cl")
+    def dataFilesMtime(): Map[String, Long] =
+      loc.listFiles().filterNot(_.getName.startsWith("_"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = dataFilesMtime()
+    assert(before.nonEmpty)
+    // warm hit: same fingerprint — files untouched
+    Bucketed.writeBucketedCached(left, "bspec_cl", "k", nBuckets = 8, fingerprint = "fpA")
+    assert(dataFilesMtime() == before, "warm hit must not rewrite data files")
+    // fresh-catalog path: drop the registration (as a new JVM would) and
+    // re-register over the existing files — still bucketed, still no shuffle
+    spark.sql("DROP TABLE bspec_cl")
+    Bucketed.writeBucketedCached(left, "bspec_cl", "k", nBuckets = 8, fingerprint = "fpA")
+    assert(dataFilesMtime() == before, "re-registration must not rewrite data files")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = Bucketed.coLocatedJoin(spark, "bspec_cl", "bspec_cr", "k")
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"re-registered external bucketed table must keep the shuffle-free join:\n${plan.treeString}")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // changed fingerprint: rebuild happens
+    Bucketed.writeBucketedCached(left.limit(100), "bspec_cl", "k", nBuckets = 8,
+      fingerprint = "fpB")
+    assert(spark.table("bspec_cl").count() == 100,
+      "a new fingerprint must rebuild the table")
+  }
+
   test("co-located join result equals the plain shuffled join") {
     val (left, right) = mkData()
     Bucketed.writeBucketed(left, "bspec_left2", "k", nBuckets = 8)
