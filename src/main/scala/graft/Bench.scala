@@ -188,25 +188,66 @@ object Bench {
     oneRun(cpus, clustered = false, inputPath)
     oneRun(cpus, clustered = true, clusteredPath)
     sentinel(); membwSentinel() // JIT the sentinel loops before the timed ones
+    // calibration floor for the drift gate: min of 3 quiet-ish samples
+    var sentinelFloor = (1 to 3).map(_ => sentinel()).min
+    var membwFloor = (1 to 3).map(_ => membwSentinel()).min
     val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     val membwSentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     // 6 interleaved rounds: each configuration needs only ONE quiet window
-    // across the ~8-minute measurement span, and the min-per-side over 6
-    // samples finds it; sentinels tag which rounds were contended.
+    // across the measurement span, and the min-per-side over 6 samples
+    // finds it. Round-3 lesson (and advisor's): a contended window must be
+    // RETRIED and, failing that, EXCLUDED from the gate mins — not
+    // averaged in. So (a) before each round the sentinels gate entry: if
+    // either drifts >1.3x over its floor the round WAITS and re-probes
+    // (bounded retries) instead of measuring a poisoned window; (b) after
+    // the fact, a round is valid for the mins only if the sentinels on
+    // BOTH sides of it were quiet. (Spinner threads run at Java
+    // MIN_PRIORITY, which default-Linux JVMs do NOT map to OS scheduling
+    // priority — they equalize clocks/cache across core counts but cannot
+    // yield to GC/IO helpers; the sentinel gate is what actually rejects
+    // windows the spinners poisoned.)
+    val maxRetries = 6
+    var retriesUsed = 0
+    def quietProbe(): (Double, Double, Boolean) = {
+      val s = sentinel(); val m = membwSentinel()
+      sentinelFloor = math.min(sentinelFloor, s)
+      membwFloor = math.min(membwFloor, m)
+      (s, m, s <= sentinelFloor * 1.3 && m <= membwFloor * 1.3)
+    }
     val rounds = (1 to 6).map { _ =>
-      sentinels += sentinel()
-      membwSentinels += membwSentinel()
+      var probe = quietProbe()
+      while (!probe._3 && retriesUsed < maxRetries) {
+        retriesUsed += 1
+        Thread.sleep(10000) // wait out the neighbor, then re-probe
+        probe = quietProbe()
+      }
+      sentinels += probe._1
+      membwSentinels += probe._2
       (oneRun(nSmall, clustered = false, inputPath),
        oneRun(cpus, clustered = false, inputPath),
        oneRun(nSmall, clustered = true, clusteredPath),
        oneRun(cpus, clustered = true, clusteredPath))
     }
-    sentinels += sentinel()
-    membwSentinels += membwSentinel()
-    val secSmall = rounds.map(_._1).min
-    val sec4N = rounds.map(_._2).min
-    val secClusteredSmall = rounds.map(_._3).min
-    val secClustered4N = rounds.map(_._4).min
+    locally {
+      val (s, m, _) = quietProbe()
+      sentinels += s
+      membwSentinels += m
+    }
+    // a round's samples count toward the gate mins only if the probes on
+    // both sides of it were quiet (<=1.3x the floor); if every round was
+    // poisoned, fall back to all rounds (the drift numbers stay visible)
+    val roundValid = rounds.indices.map { i =>
+      sentinels(i) <= sentinelFloor * 1.3 && sentinels(i + 1) <= sentinelFloor * 1.3 &&
+        membwSentinels(i) <= membwFloor * 1.3 && membwSentinels(i + 1) <= membwFloor * 1.3
+    }
+    val gateRounds = {
+      val valid = rounds.zip(roundValid).filter(_._2).map(_._1)
+      if (valid.nonEmpty) valid else rounds
+    }
+    val secSmall = gateRounds.map(_._1).min
+    val sec4N = gateRounds.map(_._2).min
+    val secClusteredSmall = gateRounds.map(_._3).min
+    val secClustered4N = gateRounds.map(_._4).min
 
     def eff(tSmall: Double, tBig: Double, small: Int, big: Int): Double =
       ((nTurns / tBig) / (nTurns / tSmall)) / (big.toDouble / small)
@@ -242,6 +283,8 @@ object Bench {
       s""""membw_sentinel_sec":[${membwSentinels.map(v => f"$v%.3f").mkString(",")}],""" +
       f""""membw_drift":$membwDrift%.3f,""" +
       s""""background":"equalized",""" +
+      s""""valid_rounds":${roundValid.count(identity)},""" +
+      s""""contended_retries":$retriesUsed,""" +
       f""""scaling_efficiency_best":$effBest%.3f}"""
     val line =
       f"""{"metric":"total","value":${totalQuerySec + sec4N}%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":$pipeline}"""
@@ -250,5 +293,21 @@ object Bench {
     // read even if a wrapper mangles stdout
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
     println(line)
+    // the full line above is ~3 KB (56 per-query timings) and a stdout
+    // TAIL capture can start mid-JSON (round-3's BENCH_r03 "parsed":null).
+    // Emit a compact self-contained twin LAST — gate numbers + per-config
+    // throughputs, no per-round arrays, no query map (that detail lives in
+    // the full line and in BENCH.json) — so any tail window parses.
+    val pipelineCompact =
+      f"""{"n_turns":$nTurns,"cores_n":$nSmall,"tps_n":$tpsSmall%.0f,""" +
+      f""""cores_4n":$cpus,"tps_4n":$tps4N%.0f,"scaling_efficiency":$effW%.3f,""" +
+      f""""clustered_tps_n":${nTurns / secClusteredSmall}%.0f,"clustered_tps_4n":${nTurns / secClustered4N}%.0f,""" +
+      f""""clustered_scaling_efficiency":$effC%.3f,""" +
+      f""""sentinel_drift":$sentinelDrift%.3f,"membw_drift":$membwDrift%.3f,""" +
+      s""""valid_rounds":${roundValid.count(identity)},"contended_retries":$retriesUsed,""" +
+      s""""background":"equalized",""" +
+      f""""scaling_efficiency_best":$effBest%.3f}"""
+    println(
+      f"""{"metric":"total","value":${totalQuerySec + sec4N}%.3f,"unit":"sec","sec_queries":$totalQuerySec%.3f,"n_queries":${queryTimes.size},"queries_detail":"BENCH.json","sf":"$sfDir","pipeline":$pipelineCompact}""")
   }
 }
