@@ -111,6 +111,64 @@ object Trainer {
     TrainResult(model, f1, trainDf.count(), valDf.count())
   }
 
+  final case class BowResult(
+      macroF1: Double,
+      vocabSize: Int,
+      nCoefficients: Long,
+      denseSizeKb: Double,
+  )
+
+  /** X5: the bag-of-words alternative the reference TRIED AND REJECTED
+    * (`experiments/ex15_train_model.py:60-66`,
+    * `experiments/experiments.md:435-439`: 15 min train, F1 92.4%, 157 MB
+    * model vs 14 KB for the curated substring features). Implemented for
+    * capability parity — a user replaying ex15 can run it — but kept out
+    * of the product path for the reference's own reason: the coefficient
+    * matrix is vocab x classes instead of curated-tokens x classes, so
+    * model size scales with corpus vocabulary (TrainerSpec reproduces the
+    * blow-up vs `train` on the fixture corpus).
+    *
+    * Spark shape: RegexTokenizer -> CountVectorizer (distributed vocab
+    * fit on the train split only) -> weighted multinomial LR; holdout
+    * macro-F1 on the ml pipeline's own predictions. */
+  def trainBagOfWords(spark: SparkSession, df: DataFrame, labelCol: String,
+                      textCol: String, idCol: String, valPct: Int = 20,
+                      vocabSize: Int = 1 << 18, maxIter: Int = 50,
+                      regParam: Double = 0.0): BowResult = {
+    import org.apache.spark.ml.feature.{CountVectorizer, RegexTokenizer}
+    val bucket = graft.functions.TextFunctions.md5Bucket(F.col(idCol), 100)
+    val base = df.withColumn("is_val", bucket < valPct)
+    val words = new RegexTokenizer()
+      .setInputCol(textCol).setOutputCol("__words")
+      .setPattern("\\s+") // whitespace split, lowercased (ex15's analyzer)
+      .transform(base)
+    val cvModel = new CountVectorizer()
+      .setInputCol("__words").setOutputCol("features").setVocabSize(vocabSize)
+      .fit(words.filter(!F.col("is_val")))
+    val feat = cvModel.transform(words).cache()
+    try {
+      val labels = feat.select(labelCol).distinct().collect()
+        .map(_.getString(0)).sorted
+      val labelIdx = labels.zipWithIndex.toMap
+      val weights = balancedWeights(feat.filter(!F.col("is_val")), labelCol)
+      val idxUdf = F.udf((l: String) => labelIdx(l).toDouble)
+      val wUdf = F.udf((l: String) => weights.getOrElse(l, 1.0))
+      val prepared = feat
+        .withColumn("label", idxUdf(F.col(labelCol)))
+        .withColumn("weight", wUdf(F.col(labelCol)))
+      val lr = new LogisticRegression()
+        .setFamily("multinomial").setMaxIter(maxIter).setRegParam(regParam)
+        .setWeightCol("weight").setFeaturesCol("features").setLabelCol("label")
+      val fitted = lr.fit(prepared.filter(!F.col("is_val")))
+      val backUdf = F.udf((i: Double) => labels(i.toInt))
+      val scored = fitted.transform(prepared.filter(F.col("is_val")))
+        .withColumn("pred", backUdf(F.col("prediction")))
+      val f1 = F1.macroF1(scored, labelCol, "pred")
+      val nCoef = cvModel.vocabulary.length.toLong * labels.length
+      BowResult(f1, cvModel.vocabulary.length, nCoef, nCoef * 8.0 / 1024.0)
+    } finally { feat.unpersist(false); () }
+  }
+
   /** M4: F1 as a function of the top-n features (importance-ordered model);
     * each point is a distributed scoring pass (`analyze_model.py:42-85`). */
   def f1Curve(spark: SparkSession, df: DataFrame, labelCol: String, textCol: String,

@@ -63,6 +63,20 @@ class TrainerSpec extends AnyFunSuite {
     assert(sizeKb > 0)
   }
 
+  test("X5 bag-of-words path works and reproduces the reference's rejection rationale") {
+    // ex15_train_model.py's CountVectorizer alternative: comparable F1,
+    // vocab-sized coefficient matrix (157 MB vs 14 KB at reference scale)
+    val bow = Trainer.trainBagOfWords(spark, labeled, "lang_true", "text",
+      "row_id", valPct = 20, maxIter = 30)
+    assert(bow.macroF1 > 0.8, s"BoW macro-F1 ${bow.macroF1}")
+    assert(bow.vocabSize > tokens.length,
+      s"corpus vocabulary (${bow.vocabSize}) must exceed the curated token set (${tokens.length})")
+    val substringCoefs = result.model.numFeatures.toLong * result.model.numClasses
+    assert(bow.nCoefficients > 2L * substringCoefs,
+      s"the rejection rationale: BoW coef matrix (${bow.nCoefficients}) blows up vs " +
+        s"curated substring features ($substringCoefs)")
+  }
+
   test("findIdealSize returns a size whose F1 is within delta of full") {
     val valDf = labeled.filter(
       graft.functions.TextFunctions.md5Bucket(F.col("row_id"), 100) < 20)
