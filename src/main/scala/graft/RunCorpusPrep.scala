@@ -10,8 +10,8 @@ import graft.pipeline.CorpusPrep
   *   spark-submit --class graft.RunCorpusPrep <jar> \
   *     --input <documents parquet dir/file> --output <dir> \
   *     [--benchmark <parquet with a text column>] [--budget 2048] \
-  *     [--threshold 0.7] [--shard-col source] [--id-col doc_id] \
-  *     [--text-col text] [--no-report] [--local N]
+  *     [--threshold 0.7] [--quality-band 0.1:1.0] [--shard-col source] \
+  *     [--id-col doc_id] [--text-col text] [--no-report] [--local N]
   *
   * Writes the packed survivors partitioned by the shard column and prints
   * one JSON status line with the per-stage survivor counts.
@@ -43,6 +43,11 @@ object RunCorpusPrep {
     val shardCol = opt.getOrElse("shard-col", "source")
     val budget = opt.getOrElse("budget", "2048").toLong
     val threshold = opt.getOrElse("threshold", "0.7").toDouble
+    // per-shard quality quantile band, e.g. "0.1:1.0" keeps p10..p100
+    val qualityBand = opt.get("quality-band").map { s =>
+      val Array(lo, hi) = s.split(":", 2)
+      (lo.toDouble, hi.toDouble)
+    }
     val report = !opt.contains("no-report")
 
     val spark: SparkSession = opt.get("local") match {
@@ -58,7 +63,8 @@ object RunCorpusPrep {
     val benchmark = opt.get("benchmark").map(spark.read.parquet)
     val (packed, rep) = CorpusPrep.run(docs, textCol, idCol, shardCol,
       benchmark = benchmark, benchTextCol = textCol,
-      tokenBudget = budget, threshold = threshold, report = report)
+      tokenBudget = budget, threshold = threshold,
+      qualityBand = qualityBand, report = report)
 
     packed.write.mode("overwrite").partitionBy(shardCol).parquet(output)
 

@@ -395,7 +395,8 @@ object Dedup {
     require(rows.length <= maxBenchShingles,
       s"benchmark has > $maxBenchShingles distinct shingles " +
         s"(~${maxBenchShingles.toLong * 8 / (1 << 20)} MB broadcast cap) — " +
-        "too large to broadcast; use minhashDupPairs/dropByPairs for corpus-vs-corpus overlap")
+        "too large to broadcast; use decontaminateJoin (shuffle-based, any size) " +
+        "or minhashDupPairs/dropByPairs for corpus-vs-corpus overlap")
     val grams = new Array[Long](rows.length)
     var i = 0
     while (i < rows.length) { grams(i) = rows(i).getLong(0); i += 1 }
@@ -406,6 +407,34 @@ object Dedup {
       shingleHashes(text, w).exists(h => java.util.Arrays.binarySearch(g, h) >= 0)
     }
     corpus.filter(!contaminated(F.col(textCol)))
+  }
+
+  /** Benchmark decontamination via DISTRIBUTED SEMI-JOIN — the tier above
+    * `decontaminate` when the "benchmark" side's distinct shingles exceed
+    * broadcast size (a held-out corpus slice, a union of many benchmarks).
+    *
+    * Scale shape: both sides explode to (id, shingle-hash) / (shingle-hash)
+    * rows — 8–16 bytes each, never text — and meet in one hash-partitioned
+    * LEFT SEMI join; contaminated ids (at most the contaminated fraction,
+    * 8 bytes each) come back to the corpus as a second, AQE-broadcastable
+    * LEFT ANTI join. Cost is one shuffle of the corpus's shingle hashes
+    * (~token count x 16 B ≈ a few % of corpus bytes) — the honest price of
+    * an arbitrarily large benchmark side; below the broadcast cap,
+    * `decontaminate`'s zero-shuffle scan strictly dominates.
+    *
+    * Result-identical to `decontaminate` on any input (same shingling,
+    * same membership semantics) — DedupSpec asserts the equivalence. */
+  def decontaminateJoin(corpus: DataFrame, textCol: String, idCol: String,
+                        benchmark: DataFrame, benchTextCol: String,
+                        w: Int = 8): DataFrame = {
+    val bg = benchmark
+      .select(F.explode(shinglesUdf(F.col(benchTextCol), F.lit(w))).as("g"))
+      .distinct()
+    val cg = corpus.select(F.col(idCol),
+      F.explode(shinglesUdf(F.col(textCol), F.lit(w))).as("g"))
+    val contaminated = cg.join(bg, Seq("g"), "left_semi")
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** SimHash near-dup pairs: identical 16-bit band ⇒ candidate; verified by

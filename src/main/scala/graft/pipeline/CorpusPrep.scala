@@ -16,6 +16,9 @@ import graft.quality.Rules
   *   2. near-dup drop         (minhash LSH -> components -> canonical, q51)
   *   3. decontamination       (benchmark shingle broadcast, q55; optional)
   *   4. quality rules         (reference junk thresholds — q15 family)
+  *   4b. quality quantile band (optional: keep docs inside a per-shard
+  *       quality-score quantile band — q52's sketch cutoffs + broadcast
+  *       band filter, the "drop the worst decile per source" tier)
   *   5. sequence packing      (token-budget chunk layout, q56)
   *
   * Scale shape: stages 1–2 shuffle ids/hashes only, stage 3 is a
@@ -36,16 +39,29 @@ object CorpusPrep {
   def run(docs: DataFrame, textCol: String, idCol: String, shardCol: String,
           benchmark: Option[DataFrame] = None, benchTextCol: String = "text",
           tokenBudget: Long = 2048, w: Int = 3, k: Int = 32, bands: Int = 16,
-          threshold: Double = 0.7,
+          threshold: Double = 0.7, qualityBand: Option[(Double, Double)] = None,
+          bandMetric: Option[Column] = None,
           report: Boolean = true): (DataFrame, Option[Report]) = {
     val text = F.col(textCol)
     def count1 = F.count(F.lit(1)).as("n")
     def junkFree(df: DataFrame): DataFrame = {
       val total = F.length(text).cast("double")
       def ratio(c: Column) = F.when(F.length(text) === 0, 0.0).otherwise(c / total)
-      df.filter(!Rules.isJunkCol(F.length(text),
+      val rulesKept = df.filter(!Rules.isJunkCol(F.length(text),
         TextFunctions.lineCount(text), ratio(TextFunctions.letterCount(text)),
         ratio(TextFunctions.punctCount(text)), ratio(TextFunctions.digitCount(text))))
+      // optional per-shard quantile band on a per-doc metric ("drop the
+      // worst decile per source"): sketch cutoffs (one tiny row per
+      // shard) broadcast back over one corpus scan — q52's shape. The
+      // metric defaults to the composite quality score; callers band on
+      // length / perplexity / any scored column the same way.
+      qualityBand match {
+        case Some((lo, hi)) =>
+          graft.stats.Quantiles.keepQuantileBand(rulesKept,
+            bandMetric.getOrElse(TextFunctions.qualityScore(text)),
+            Seq(shardCol), lo, hi)
+        case None => rulesKept
+      }
     }
     def pack(df: DataFrame): DataFrame =
       Packing.packSequential(df, TextFunctions.tokenCount(text),

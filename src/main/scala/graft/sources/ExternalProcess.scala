@@ -85,15 +85,20 @@ object ExternalProcess {
     * readLine cannot block indefinitely on a line-at-a-time child. */
   private def readResponse(fromProc: BufferedReader, proc: Process,
                            timeoutMs: Long, what: => String): String = {
-    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    val start = System.nanoTime()
+    val deadline = start + timeoutMs * 1000000L
     while (!fromProc.ready()) {
       if (!proc.isAlive && !fromProc.ready()) return fromProc.readLine()
-      if (System.nanoTime() > deadline)
+      val now = System.nanoTime()
+      if (now > deadline)
         throw new java.io.IOException(
           s"external process response timed out after ${timeoutMs} ms at $what — " +
             "the child must write AND FLUSH one line per request " +
             "(block-buffered stdout stalls the lockstep protocol)")
-      Thread.sleep(2)
+      // a healthy child answers in microseconds: spin for the first 1 ms
+      // (the hot path — a Thread.sleep here would tax EVERY row by a
+      // scheduler quantum), park 1 ms thereafter (the watchdog path)
+      if (now - start < 1000000L) Thread.onSpinWait() else Thread.sleep(1)
     }
     fromProc.readLine()
   }

@@ -265,6 +265,20 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminateJoin is result-identical to the broadcast path (any-size tier)") {
+    import spark.implicits._
+    val corpus = base.toDF("id", "text")
+    val bench = base.take(5)
+      .map { case (_, text) => text.split(" ").slice(2, 12).mkString(" ") }
+      .toDF("btext")
+    val viaBroadcast = Dedup.decontaminate(corpus, "text", "id", bench, "btext", w = 8)
+      .collect().map(_.getLong(0)).toSet
+    val viaJoin = Dedup.decontaminateJoin(corpus, "text", "id", bench, "btext", w = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaJoin == viaBroadcast, s"join path must match broadcast path")
+    assert(viaJoin == (5 until 40).map(_.toLong).toSet)
+  }
+
   test("cacheShingles=true tokenizes each text exactly once (single text scan)") {
     import spark.implicits._
     val sc = spark.sparkContext

@@ -80,6 +80,25 @@ class CorpusPrepSpec extends AnyFunSuite {
         s"$jobsReport vs baseline $jobsNoReport — the old design issued 6 count jobs on top")
   }
 
+  test("optional quality band drops the per-shard tails, reflected in afterQuality") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    // variable-length docs (20 + i words) so a length band has real tails
+    val docs = (0 until 40).map { i =>
+      ("s" + (i % 2), i.toLong, (0 until 20 + i).map(j => word(i * 1000L + j)).mkString(" "))
+    }.toDF("shard", "id", "text")
+    val (_, Some(full)) = CorpusPrep.run(docs, "text", "id", "shard",
+      tokenBudget = 100L)
+    val (packed, Some(banded)) = CorpusPrep.run(docs, "text", "id", "shard",
+      tokenBudget = 100L, qualityBand = Some((0.25, 1.0)),
+      bandMetric = Some(length(col("text"))))
+    assert(full.afterQuality == 40)
+    assert(banded.afterQuality < full.afterQuality,
+      s"p25 length band must drop the short quartile per shard: ${banded.afterQuality}")
+    assert(banded.afterQuality >= 20, "band must not drop more than the tails")
+    assert(packed.count() == banded.afterQuality)
+  }
+
   test("report=false returns the same survivors without stage counts") {
     import spark.implicits._
     val docs = (0 until 20).map(doc).toDF("shard", "id", "text")
