@@ -219,6 +219,19 @@ object SparkEntry {
           Seq("source"), Seq(0.25, 0.5, 0.75))
         .orderBy("source")),
 
+    // quantile-band quality filter end-to-end (the "keep p25..p75 by
+    // length per source" tier): exact dyadic cutoffs (oracle-checkable
+    // vs quantile_cont) broadcast back over one corpus scan. The
+    // production path swaps useExact for the approx_percentile sketch
+    // (same call shape, spec-gated within rank tolerance).
+    "q58_quantile_band" -> ((s, dir) =>
+      graft.stats.Quantiles.keepQuantileBand(t(s, dir, "documents"),
+          length(col("text")), Seq("source"), 0.25, 0.75, useExact = true)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).cast("bigint").as("sum_len"))
+        .orderBy("source")),
+
     // sequence packing: docs -> fixed token-budget training chunks by
     // running token total per source shard (one keyed window shuffle,
     // never a global order); per-chunk doc/token counts under the gate
@@ -338,6 +351,22 @@ object SparkEntry {
         .filter(col("doc_id") % 37 === 0 && size(words(col("text"))) >= 21)
         .select(concat_ws(" ", slice(words(col("text")), 6, 16)).as("btext"))
       graft.dedup.Dedup.decontaminate(docs, "text", "doc_id", bench, "btext", w = 8)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
+    // the SAME decontamination semantics through the any-size SEMI-JOIN
+    // tier (shuffled shingle hashes instead of a broadcast set — the path
+    // for benchmark sides too large to broadcast); one oracle, two
+    // execution paths
+    "q57_decontaminate_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def words(c: Column) =
+        filter(split(lower(c), "\\s+"), w => w =!= lit(""))
+      val bench = docs
+        .filter(col("doc_id") % 37 === 0 && size(words(col("text"))) >= 21)
+        .select(concat_ws(" ", slice(words(col("text")), 6, 16)).as("btext"))
+      graft.dedup.Dedup.decontaminateJoin(docs, "text", "doc_id", bench, "btext", w = 8)
         .groupBy("lang").agg(count(lit(1)).as("n"))
         .orderBy("lang")
     }),
@@ -855,6 +884,18 @@ object SparkEntry {
           | quantile_cont(CAST(length(text) AS DOUBLE), 0.5) AS p50,
           | quantile_cont(CAST(length(text) AS DOUBLE), 0.75) AS p75
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      // band filter over the q52 cutoffs; BETWEEN is inclusive both sides
+      // in both engines, cutoffs are bit-exact dyadic doubles
+      "q58_quantile_band" ->
+        """WITH cuts AS (
+          |  SELECT source,
+          |    quantile_cont(CAST(length(text) AS DOUBLE), 0.25) AS lo,
+          |    quantile_cont(CAST(length(text) AS DOUBLE), 0.75) AS hi
+          |  FROM documents GROUP BY 1)
+          |SELECT d.source, count(*) AS n, CAST(sum(length(d.text)) AS BIGINT) AS sum_len
+          |FROM documents d JOIN cuts c ON d.source = c.source
+          |WHERE CAST(length(d.text) AS DOUBLE) BETWEEN c.lo AND c.hi
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       // chunk_id = floor(start_offset / budget) with start_offset = the
       // running token sum before this doc, same window both engines
       "q56_seq_packing" ->
@@ -1326,6 +1367,28 @@ object SparkEntry {
       // 64-bit hashes of the same shingles — equal iff strings equal):
       // survivors are docs whose 8-gram set misses every benchmark 8-gram
       "q55_decontaminate" ->
+        """WITH d AS (
+          |  SELECT doc_id, lang,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, lang,
+          |    (CASE WHEN len(ws) >= 8 THEN
+          |      list_distinct(list_transform(generate_series(1, len(ws) - 7),
+          |        i -> array_to_string(ws[i:i+7], ' ')))
+          |     WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
+          |     ELSE [] END) AS s
+          |  FROM d),
+          |bench AS (SELECT ws[6:21] AS bw FROM d WHERE doc_id % 37 = 0 AND len(ws) >= 21),
+          |bg AS (SELECT DISTINCT g FROM (
+          |  SELECT unnest(list_transform(generate_series(1, len(bw) - 7),
+          |    i -> array_to_string(bw[i:i+7], ' '))) AS g FROM bench))
+          |SELECT lang, count(*) AS n
+          |FROM sh, (SELECT list(g) AS bl FROM bg) b
+          |WHERE len(list_intersect(s, b.bl)) = 0
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // identical semantics to q55 through the semi-join tier: same oracle
+      "q57_decontaminate_join" ->
         """WITH d AS (
           |  SELECT doc_id, lang,
           |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws

@@ -62,20 +62,26 @@ object Quantiles {
   /** Filter `df` to rows whose `metric` lies within the [lo, hi] quantile
     * band computed per `groupCols` — e.g. keep p10..p99 by length within
     * each source. The cutoff table is tiny (one row per group) and joins
-    * back broadcast; the corpus itself is scanned once. */
+    * back broadcast; the corpus itself is scanned once. `useExact` swaps
+    * the sketch cutoffs for true linear-interpolated percentiles
+    * (oracle-checkable; bounded-cardinality groups only — see `exact`). */
   def keepQuantileBand(df: DataFrame, metric: Column, groupCols: Seq[String],
                        lo: Double, hi: Double,
-                       accuracy: Int = 10000): DataFrame = {
+                       accuracy: Int = 10000,
+                       useExact: Boolean = false): DataFrame = {
     require(lo <= hi, s"lo $lo must be <= hi $hi")
+    def cutsOf(qs: Seq[Double]): DataFrame =
+      if (useExact) exact(df, metric, groupCols, qs)
+      else approx(df, metric, groupCols, qs, accuracy)
     // lo == hi would alias two aggregates identically (the band collapses
     // to one cutoff) — compute it once and use it as both bounds
     val cuts =
       if (lo == hi)
-        approx(df, metric, groupCols, Seq(lo), accuracy)
+        cutsOf(Seq(lo))
           .withColumn("__lo", F.col(colName(lo)))
           .withColumnRenamed(colName(lo), "__hi")
       else
-        approx(df, metric, groupCols, Seq(lo, hi), accuracy)
+        cutsOf(Seq(lo, hi))
           .withColumnRenamed(colName(lo), "__lo")
           .withColumnRenamed(colName(hi), "__hi")
     val joined =
