@@ -232,6 +232,25 @@ object SparkEntry {
           sum(length(col("text"))).cast("bigint").as("sum_len"))
         .orderBy("source")),
 
+    // range-clustered LAYOUT end-to-end: documents rewritten
+    // range-partitioned + sorted by doc_id (fingerprint-cached build,
+    // like q48's bucketed tables), then a doc_id range query over the
+    // layout — results must equal the same query on the raw table. The
+    // layout's point (row-group pruning: >10x fewer rows surfaced by the
+    // reader) is proven in LayoutSpec with task input metrics.
+    "q59_range_layout" -> ((s, dir) => {
+      val fp = pathFingerprint(s"$dir/documents.parquet")
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_q59_$fp").toString
+      if (!new java.io.File(path, "_SUCCESS").exists)
+        graft.etl.Layout.writeRangeClustered(
+          t(s, dir, "documents"), path, numFiles = 8, keys = Seq("doc_id"))
+      graft.etl.Layout.readRange(s, path, col("doc_id").between(50, 250))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .orderBy("source")
+    }),
+
     // sequence packing: docs -> fixed token-budget training chunks by
     // running token total per source shard (one keyed window shuffle,
     // never a global order); per-chunk doc/token counts under the gate
@@ -884,6 +903,11 @@ object SparkEntry {
           | quantile_cont(CAST(length(text) AS DOUBLE), 0.5) AS p50,
           | quantile_cont(CAST(length(text) AS DOUBLE), 0.75) AS p75
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      // layout changes row placement, never results: plain range query
+      "q59_range_layout" ->
+        """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents WHERE doc_id BETWEEN 50 AND 250
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       // band filter over the q52 cutoffs; BETWEEN is inclusive both sides
       // in both engines, cutoffs are bit-exact dyadic doubles
       "q58_quantile_band" ->

@@ -1,0 +1,45 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
+
+/** Range-clustered data LAYOUT: the scan-side complement to `Bucketed`
+  * (which co-locates joins). Writing a table range-partitioned AND sorted
+  * by its hot filter key makes every parquet row group cover a narrow key
+  * range, so a range/point predicate prunes at the reader: parquet keeps
+  * per-row-group min/max statistics, and Spark's pushed filters skip
+  * whole row groups whose range cannot match. On a randomly-laid-out
+  * table every row group spans the full key range and NOTHING skips —
+  * at 100 TB the difference is reading ~selectivity of the table instead
+  * of all of it. (This is the plain-parquet equivalent of Iceberg/Delta
+  * sort-ordered compaction; LayoutSpec proves the pruning with task input
+  * metrics — rows delivered by the reader drop >10x on the clustered
+  * layout for the same query result.)
+  *
+  * `repartitionByRange` samples the key distribution, so files are
+  * balanced even under skew; `sortWithinPartitions` orders inside each
+  * file; small `parquet.block.size` bounds row-group width (the pruning
+  * granularity) — defaults keep Spark's 128 MB for production, tests use
+  * small blocks to get many row groups at toy scale.
+  */
+object Layout {
+
+  /** One-time materialization of `df` range-clustered by `keys`. */
+  def writeRangeClustered(df: DataFrame, path: String, numFiles: Int,
+                          keys: Seq[String],
+                          rowGroupBytes: Option[Long] = None): Unit = {
+    val cols = keys.map(F.col)
+    val w = df.repartitionByRange(numFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite")
+    rowGroupBytes.fold(w)(b => w.option("parquet.block.size", b.toString))
+      .parquet(path)
+  }
+
+  /** Scan a range-clustered table with a pushed-down range predicate.
+    * Plain `spark.read.parquet(path).filter(...)` works identically —
+    * this helper only documents the idiom and keeps the filter in a form
+    * (plain comparisons on the layout key) that reaches the scan as
+    * PushedFilters rather than a residual predicate. */
+  def readRange(spark: SparkSession, path: String, predicate: Column): DataFrame =
+    spark.read.parquet(path).filter(predicate)
+}

@@ -1,0 +1,83 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkTestSession
+
+/** Range-clustered layout: identical query results to any other layout,
+  * with parquet row-group pruning doing the work — a range predicate over
+  * the sorted layout READS FEWER BYTES than over a shuffled layout of the
+  * same rows (task input metrics prove it). */
+class LayoutSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  /** Sum of task recordsRead for one action — rows the parquet reader
+    * DELIVERED, i.e. after row-group/page pruning but before the Spark
+    * filter (bytesRead is blind to the new vectored parquet IO path). */
+  private def recordsRead(f: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        Option(t.taskMetrics).foreach(m => acc.addAndGet(m.inputMetrics.recordsRead))
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try { f; Thread.sleep(500) }
+    finally spark.sparkContext.removeSparkListener(listener)
+    acc.get()
+  }
+
+  test("range predicate over the clustered layout surfaces far fewer rows from the reader, same results") {
+    import spark.implicits._
+    // 400k rows, a long payload so row groups hold a bounded id range;
+    // ids arrive SHUFFLED (hash order) so the unclustered layout has
+    // full-range row groups
+    val n = 400000
+    val rows = spark.range(n)
+      .select(F.xxhash64(F.col("id")).as("shuffle_key"), F.col("id"),
+        F.concat(F.lit("payload-"), F.md5(F.col("id").cast("string"))).as("payload"))
+      .orderBy("shuffle_key").drop("shuffle_key")
+    val base = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    val clustered = s"$base/clustered"
+    val random = s"$base/random"
+    // same parquet knobs both sides: 64 KB row groups, 4 files
+    Layout.writeRangeClustered(rows, clustered, numFiles = 4, keys = Seq("id"),
+      rowGroupBytes = Some(64 * 1024))
+    rows.repartition(4).write.mode("overwrite")
+      .option("parquet.block.size", (64 * 1024).toString).parquet(random)
+
+    val pred = F.col("id").between(1000, 3000)
+    // the query must READ a payload column for surviving rows (a bare
+    // count() reads only the pruned filter column and understates the
+    // win): sum of payload lengths over the id range
+    def q(path: String): (Long, Long) = {
+      val r = Layout.readRange(spark, path, pred)
+        .agg(F.count(F.lit(1)), F.sum(F.length(F.col("payload")))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // warm (footer caches, code paths), then measure
+    q(clustered); q(random)
+    val resClustered = q(clustered)
+    val resRandom = q(random)
+    assert(resClustered == resRandom && resClustered._1 == 2001L,
+      s"layouts agree on results: $resClustered vs $resRandom")
+    val rClustered = recordsRead { q(clustered); () }
+    val rRandom = recordsRead { q(random); () }
+    assert(rClustered > 0 && rRandom > 0)
+    // clustered: the ~2 matching row groups (+ boundaries); random: every
+    // row group spans the full id range, nothing prunes, all rows surface
+    assert(rClustered * 10 < rRandom,
+      s"sorted layout must let row-group stats prune most of the scan: " +
+        s"clustered $rClustered rows read vs random $rRandom")
+    // and the predicate actually reached the scan
+    val scan = Layout.readRange(spark, clustered, pred)
+      .queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    assert(scan.nonEmpty && scan.head.metadata("PushedFilters").contains("GreaterThanOrEqual"),
+      "range predicate must be pushed to the parquet scan")
+  }
+}
