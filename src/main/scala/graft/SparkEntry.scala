@@ -232,6 +232,13 @@ object SparkEntry {
           sum(length(col("text"))).cast("bigint").as("sum_len"))
         .orderBy("source")),
 
+    // hot-key profiler (exact tier): the 20 hottest users in the events
+    // table — the diagnostic run before sizing a join's skew handling.
+    // The one-pass shuffle-free Misra-Gries tier is spec-gated (SkewSpec)
+    // against this exact semantics.
+    "q60_heavy_hitters" -> ((s, dir) =>
+      graft.stats.Skew.topKeysExact(t(s, dir, "events"), "user_id", 20)),
+
     // range-clustered LAYOUT end-to-end: documents rewritten
     // range-partitioned + sorted by doc_id (fingerprint-cached build,
     // like q48's bucketed tables), then a doc_id range query over the
@@ -903,6 +910,10 @@ object SparkEntry {
           | quantile_cont(CAST(length(text) AS DOUBLE), 0.5) AS p50,
           | quantile_cont(CAST(length(text) AS DOUBLE), 0.75) AS p75
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      // count-desc, key-asc is a total order -> stable LIMIT both engines
+      "q60_heavy_hitters" ->
+        """SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
+          |FROM events GROUP BY 1 ORDER BY n DESC, key LIMIT 20""".stripMargin,
       // layout changes row placement, never results: plain range query
       "q59_range_layout" ->
         """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -42,4 +42,29 @@ object Layout {
     * PushedFilters rather than a residual predicate. */
   def readRange(spark: SparkSession, path: String, predicate: Column): DataFrame =
     spark.read.parquet(path).filter(predicate)
+
+  /** COMPACTION: bin-pack a directory of small files into ~`targetBytes`
+    * outputs. Streaming sinks and fine-grained partitioned writes leave
+    * thousands of KB-sized files; at 100 TB the per-file open/footer cost
+    * and the driver's file-listing memory dominate scans long before data
+    * volume does. Uses `coalesce` (NO shuffle — each output task
+    * concatenates whole input partitions); per-file sort orders survive,
+    * global range-clustering does not (re-run writeRangeClustered when
+    * the layout, not just the file count, must be restored). Returns
+    * (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long = 128L << 20): (Int, Int) = {
+    require(new java.io.File(inPath).getCanonicalPath !=
+      new java.io.File(outPath).getCanonicalPath,
+      "compact writes to a NEW directory (atomic swap is the caller's move)")
+    def dataFiles(p: String): Array[java.io.File] =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val before = dataFiles(inPath)
+    val totalBytes = before.map(_.length()).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath).coalesce(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    (before.length, dataFiles(outPath).length)
+  }
 }
