@@ -14,7 +14,9 @@ import graft.quality.Rules
   *
   *   1. exact dedup           (keep min-id per fingerprint — q12 family)
   *   2. near-dup drop         (minhash LSH -> components -> canonical, q51)
-  *   3. decontamination       (benchmark shingle broadcast, q55; optional)
+  *   3. decontamination       (benchmark shingle broadcast, q55; auto-
+  *       falls back to the any-size semi-join tier q57 when the
+  *       benchmark exceeds broadcast size; optional)
   *   4. quality rules         (reference junk thresholds — q15 family)
   *   4b. quality quantile band (optional: keep docs inside a per-shard
   *       quality-score quantile band — q52's sketch cutoffs + broadcast
@@ -41,6 +43,7 @@ object CorpusPrep {
           tokenBudget: Long = 2048, w: Int = 3, k: Int = 32, bands: Int = 16,
           threshold: Double = 0.7, qualityBand: Option[(Double, Double)] = None,
           bandMetric: Option[Column] = None,
+          maxBenchShingles: Int = 50000000,
           report: Boolean = true): (DataFrame, Option[Report]) = {
     val text = F.col(textCol)
     def count1 = F.count(F.lit(1)).as("n")
@@ -66,13 +69,25 @@ object CorpusPrep {
     def pack(df: DataFrame): DataFrame =
       Packing.packSequential(df, TextFunctions.tokenCount(text),
         shardCol, idCol, tokenBudget)
+    // broadcast decontamination when the benchmark fits (zero shuffles);
+    // AUTO-FALLBACK to the any-size semi-join tier when the guard trips —
+    // a composed 100 TB prep job must degrade to the shuffled plan, not
+    // die at this stage (the guard's collect is capped, so probing is
+    // safe). Both tiers are result-identical (DedupSpec).
+    def decontaminated(df: DataFrame, b: DataFrame): DataFrame =
+      try Dedup.decontaminate(df, textCol, idCol, b, benchTextCol,
+        maxBenchShingles = maxBenchShingles)
+      catch {
+        case _: IllegalArgumentException =>
+          Dedup.decontaminateJoin(df, textCol, idCol, b, benchTextCol)
+      }
 
     if (!report) {
       val d1 = Dedup.exact(docs, textCol, idCol)
       val d2 = Dedup.dropNearDups(d1, textCol, idCol,
         w = w, k = k, bands = bands, threshold = threshold)
       val d3 = benchmark match {
-        case Some(b) => Dedup.decontaminate(d2, textCol, idCol, b, benchTextCol)
+        case Some(b) => decontaminated(d2, b)
         case None => d2
       }
       (pack(junkFree(d3)), None)
@@ -93,8 +108,7 @@ object CorpusPrep {
         .observe(obs2, count1).localCheckpoint(true)
       val d3 = benchmark match {
         case Some(b) =>
-          Dedup.decontaminate(d2, textCol, idCol, b, benchTextCol)
-            .observe(obs3, count1).localCheckpoint(true)
+          decontaminated(d2, b).observe(obs3, count1).localCheckpoint(true)
         case None => d2
       }
       val d4 = junkFree(d3).observe(obs4, count1)

@@ -99,6 +99,22 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(packed.count() == banded.afterQuality)
   }
 
+  test("oversized benchmark auto-falls back to the semi-join tier, same survivors") {
+    import spark.implicits._
+    val base = (0 until 30).map(doc)
+    val docs = base.toDF("shard", "id", "text")
+    val bench = Seq(base(2)._3.split(" ").slice(3, 13).mkString(" ")).toDF("text")
+    val (_, Some(broadcastRep)) = CorpusPrep.run(docs, "text", "id", "shard",
+      benchmark = Some(bench), tokenBudget = 100L, threshold = 0.5)
+    // maxBenchShingles=1 trips the broadcast guard -> semi-join tier
+    val (packed, Some(joinRep)) = CorpusPrep.run(docs, "text", "id", "shard",
+      benchmark = Some(bench), tokenBudget = 100L, threshold = 0.5,
+      maxBenchShingles = 1)
+    assert(joinRep == broadcastRep,
+      s"tiers must agree stage-for-stage: $joinRep vs $broadcastRep")
+    assert(packed.count() == joinRep.afterQuality)
+  }
+
   test("report=false returns the same survivors without stage counts") {
     import spark.implicits._
     val docs = (0 until 20).map(doc).toDF("shard", "id", "text")
