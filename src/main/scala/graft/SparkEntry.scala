@@ -258,6 +258,28 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // small-file COMPACTION end-to-end: the documents table splintered
+    // into 64 tiny files, bin-packed back by Layout.compact (coalesce, no
+    // shuffle), then aggregated — results must equal the raw table. The
+    // file-count delta (64 -> few) is asserted in SkewSpec; build is
+    // fingerprint-cached like q48/q59.
+    "q61_compaction" -> ((s, dir) => {
+      val fp = pathFingerprint(s"$dir/documents.parquet")
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_q61_$fp").toString
+      val splintered = s"$base/in"
+      val compacted = s"$base/out"
+      if (!new java.io.File(compacted, "_SUCCESS").exists) {
+        t(s, dir, "documents").repartition(64).write
+          .mode("overwrite").parquet(splintered)
+        graft.etl.Layout.compact(s, splintered, compacted)
+      }
+      s.read.parquet(compacted)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // sequence packing: docs -> fixed token-budget training chunks by
     // running token total per source shard (one keyed window shuffle,
     // never a global order); per-chunk doc/token counts under the gate
@@ -914,6 +936,10 @@ object SparkEntry {
       "q60_heavy_hitters" ->
         """SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
           |FROM events GROUP BY 1 ORDER BY n DESC, key LIMIT 20""".stripMargin,
+      // compaction repacks files, never rows
+      "q61_compaction" ->
+        """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
       // layout changes row placement, never results: plain range query
       "q59_range_layout" ->
         """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
