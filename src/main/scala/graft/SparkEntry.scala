@@ -33,25 +33,14 @@ object SparkEntry {
   // memory-sink names must be unique per active query within a session
   private val streamQuerySeq = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Deterministic identity of a parquet file/dir's bytes-on-disk (name,
-    * length, mtime of every data file, mixed into one 64-bit hex): the
-    * cache key for fingerprint-resumed builds (q48's bucketed tables) —
-    * regenerated testdata invalidates it, repeated runs over the same
-    * files hit it. */
-  private def pathFingerprint(p: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap(walk)
-      else Seq(f)
-    var h = 1125899906842597L
-    walk(new java.io.File(p)).filterNot(_.getName.startsWith("_"))
-      .sortBy(_.getPath)
-      .foreach { f =>
-        Seq(f.getPath.hashCode.toLong, f.length(), f.lastModified()).foreach { v =>
-          h = graft.dedup.Dedup.mix64(h ^ v)
-        }
-      }
-    java.lang.Long.toHexString(h)
-  }
+  /** Deterministic identity of a parquet file/dir's bytes-on-disk: the
+    * cache key for fingerprint-resumed builds (q48/q59/q61) — regenerated
+    * testdata invalidates it, repeated runs over the same files hit it.
+    * Delegates to the one shared implementation (Hadoop-FS listing +
+    * stat + head/tail content sample — see BuildCache's doc for the
+    * stat-vs-content trade-off). */
+  private def pathFingerprint(s: SparkSession, p: String): String =
+    graft.etl.BuildCache.pathFingerprint(s, p)
 
   /** Flagship: the quality_filter pipeline shape over the documents table
     * at sf0.001 — metrics, junk rules, PII scrub, fingerprint, token count,
@@ -246,12 +235,12 @@ object SparkEntry {
     // layout's point (row-group pruning: >10x fewer rows surfaced by the
     // reader) is proven in LayoutSpec with task input metrics.
     "q59_range_layout" -> ((s, dir) => {
-      val fp = pathFingerprint(s"$dir/documents.parquet")
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_q59_$fp").toString
-      if (!new java.io.File(path, "_SUCCESS").exists)
+      val fp = pathFingerprint(s, s"$dir/documents.parquet")
+      val path = new java.io.File(sys.props("java.io.tmpdir"), "graft_q59").toString
+      graft.etl.BuildCache.cachedBuild(s, path, fp) {
         graft.etl.Layout.writeRangeClustered(
           t(s, dir, "documents"), path, numFiles = 8, keys = Seq("doc_id"))
+      }
       graft.etl.Layout.readRange(s, path, col("doc_id").between(50, 250))
         .groupBy("source")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
@@ -264,15 +253,15 @@ object SparkEntry {
     // file-count delta (64 -> few) is asserted in SkewSpec; build is
     // fingerprint-cached like q48/q59.
     "q61_compaction" -> ((s, dir) => {
-      val fp = pathFingerprint(s"$dir/documents.parquet")
-      val base = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_q61_$fp").toString
+      val fp = pathFingerprint(s, s"$dir/documents.parquet")
+      val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_q61").toString
       val splintered = s"$base/in"
       val compacted = s"$base/out"
-      if (!new java.io.File(compacted, "_SUCCESS").exists) {
+      graft.etl.BuildCache.cachedBuild(s, compacted, fp) {
         t(s, dir, "documents").repartition(64).write
           .mode("overwrite").parquet(splintered)
         graft.etl.Layout.compact(s, splintered, compacted)
+        ()
       }
       s.read.parquet(compacted)
         .groupBy("lang")
@@ -828,11 +817,11 @@ object SparkEntry {
       graft.etl.Bucketed.writeBucketedCached(
         t(s, dir, "orders").select("o_custkey", "o_totalprice"),
         "graft_q48_orders", "o_custkey", nBuckets = 16,
-        fingerprint = pathFingerprint(s"$dir/orders.parquet"))
+        fingerprint = pathFingerprint(s, s"$dir/orders.parquet"))
       graft.etl.Bucketed.writeBucketedCached(
         t(s, dir, "customer").select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
         "graft_q48_customer", "o_custkey", nBuckets = 16,
-        fingerprint = pathFingerprint(s"$dir/customer.parquet"))
+        fingerprint = pathFingerprint(s, s"$dir/customer.parquet"))
       graft.etl.Bucketed.coLocatedJoin(s, "graft_q48_orders", "graft_q48_customer", "o_custkey")
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n"),

@@ -70,23 +70,11 @@ object Bucketed {
       spark.conf.get("spark.sql.warehouse.dir"),
       name.toLowerCase(java.util.Locale.ROOT))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(loc, "_GRAFT_FINGERPRINT")
     val expected = s"$fingerprint|$key|$nBuckets|${df.schema.toDDL}"
-    val warm = fs.exists(marker) && {
-      val in = fs.open(marker)
-      val txt = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](4096)
-        var r = in.read(tmp)
-        while (r > 0) { buf.write(tmp, 0, r); r = in.read(tmp) }
-        new String(buf.toByteArray, "UTF-8")
-      } finally in.close()
-      txt == expected
-    }
+    val warm = BuildCache.readMarker(fs, loc).contains(expected)
     if (!warm) {
       writeBucketed(df, name, key, nBuckets)
-      val out = fs.create(marker, true)
-      try out.write(expected.getBytes("UTF-8")) finally out.close()
+      BuildCache.writeMarker(fs, loc, expected)
     } else if (!spark.catalog.tableExists(name)) {
       spark.sql(
         s"CREATE TABLE `$name` (${df.schema.toDDL}) USING PARQUET " +

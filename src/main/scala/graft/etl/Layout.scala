@@ -54,17 +54,25 @@ object Layout {
     * (filesBefore, filesAfter). */
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetBytes: Long = 128L << 20): (Int, Int) = {
-    require(new java.io.File(inPath).getCanonicalPath !=
-      new java.io.File(outPath).getCanonicalPath,
+    // ALL file metadata through the Hadoop FileSystem resolved from the
+    // path (BuildCache) — java.io.File returns an empty listing on
+    // hdfs://s3a:// and would silently size nOut=1, coalescing a 100 TB
+    // table into one task. An empty listing here is a loud failure.
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String): org.apache.hadoop.fs.Path = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).makeQualified(hp)
+    }
+    require(qualified(inPath) != qualified(outPath),
       "compact writes to a NEW directory (atomic swap is the caller's move)")
-    def dataFiles(p: String): Array[java.io.File] =
-      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-    val before = dataFiles(inPath)
-    val totalBytes = before.map(_.length()).sum
+    val before = BuildCache.listDataFiles(conf, inPath)
+    require(before.nonEmpty,
+      s"no data files listed under $inPath — refusing to compact " +
+        "(an unreadable or empty input must fail loudly, not coalesce(1))")
+    val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath).coalesce(nOut)
       .write.mode("overwrite").parquet(outPath)
-    (before.length, dataFiles(outPath).length)
+    (before.length, BuildCache.listDataFiles(conf, outPath).length)
   }
 }

@@ -80,4 +80,34 @@ class LayoutSpec extends AnyFunSuite {
     assert(scan.nonEmpty && scan.head.metadata("PushedFilters").contains("GreaterThanOrEqual"),
       "range predicate must be pushed to the parquet scan")
   }
+
+  test("compact sizes output via the Hadoop FileSystem API (explicit file: URI)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_fs").toString
+    val in = s"$base/in"
+    (0 until 4000).map(i => (i.toLong, s"row-$i")).toDF("id", "v")
+      .repartition(16).write.parquet(in)
+    // explicit file: URIs force the scheme-resolved FileSystem path —
+    // the same code an hdfs:// or s3a:// table takes. Pre-fix, the
+    // java.io.File listing saw ZERO files for a URI-form path and
+    // silently coalesce(1)'d with (before, after) = (0, 0).
+    val (before, after) =
+      Layout.compact(spark, s"file:$in", s"file:$base/out", targetBytes = 64L * 1024)
+    assert(before == 16, s"FileSystem listing must see all 16 input files, saw $before")
+    assert(after > 0 && after < 16)
+    assert(spark.read.parquet(s"$base/out").count() == 4000L)
+  }
+
+  test("compact fails loudly on an empty or missing input listing (never coalesce(1) blind)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_empty").toString
+    new java.io.File(s"$base/empty").mkdirs()
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.compact(spark, s"$base/empty", s"$base/out")
+    }
+    assert(e1.getMessage.contains("no data files"))
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.compact(spark, s"$base/missing", s"$base/out2")
+    }
+    assert(e2.getMessage.contains("no data files"))
+  }
 }
