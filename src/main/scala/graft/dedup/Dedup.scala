@@ -19,6 +19,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
+  /** `decontaminate`'s broadcast-size guard tripped: the benchmark side
+    * exceeds the broadcastable shingle cap. Subtype of
+    * IllegalArgumentException so existing callers still see an IAE, but
+    * catchable on its own — CorpusPrep's auto-fallback to the semi-join
+    * tier catches EXACTLY this and nothing else. */
+  final class BenchmarkTooLargeException(msg: String)
+    extends IllegalArgumentException(msg)
+
   // ---- shingling / hashing kernels (pure, deterministic) ----
 
   /** 64-bit avalanche mix (splitmix64 finalizer) — stable across JVMs. */
@@ -389,14 +397,19 @@ object Dedup {
   def decontaminate(corpus: DataFrame, textCol: String, idCol: String,
                     benchmark: DataFrame, benchTextCol: String, w: Int = 8,
                     maxBenchShingles: Int = 50000000): DataFrame = {
+    require(w >= 1, s"shingle width w must be >= 1, got $w")
     val rows = benchmark
       .select(F.explode(shinglesUdf(F.col(benchTextCol), F.lit(w))).as("g"))
       .distinct().limit(maxBenchShingles + 1).collect()
-    require(rows.length <= maxBenchShingles,
-      s"benchmark has > $maxBenchShingles distinct shingles " +
-        s"(~${maxBenchShingles.toLong * 8 / (1 << 20)} MB broadcast cap) — " +
-        "too large to broadcast; use decontaminateJoin (shuffle-based, any size) " +
-        "or minhashDupPairs/dropByPairs for corpus-vs-corpus overlap")
+    if (rows.length > maxBenchShingles)
+      // DEDICATED type, not a bare require: callers with a shuffled
+      // fallback (CorpusPrep) must be able to catch EXACTLY the
+      // size-guard trip without also swallowing genuine argument bugs
+      throw new BenchmarkTooLargeException(
+        s"benchmark has > $maxBenchShingles distinct shingles " +
+          s"(~${maxBenchShingles.toLong * 8 / (1 << 20)} MB broadcast cap) — " +
+          "too large to broadcast; use decontaminateJoin (shuffle-based, any size) " +
+          "or minhashDupPairs/dropByPairs for corpus-vs-corpus overlap")
     val grams = new Array[Long](rows.length)
     var i = 0
     while (i < rows.length) { grams(i) = rows(i).getLong(0); i += 1 }
@@ -427,6 +440,7 @@ object Dedup {
   def decontaminateJoin(corpus: DataFrame, textCol: String, idCol: String,
                         benchmark: DataFrame, benchTextCol: String,
                         w: Int = 8): DataFrame = {
+    require(w >= 1, s"shingle width w must be >= 1, got $w")
     val bg = benchmark
       .select(F.explode(shinglesUdf(F.col(benchTextCol), F.lit(w))).as("g"))
       .distinct()

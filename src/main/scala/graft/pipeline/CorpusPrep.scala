@@ -78,7 +78,10 @@ object CorpusPrep {
       try Dedup.decontaminate(df, textCol, idCol, b, benchTextCol,
         maxBenchShingles = maxBenchShingles)
       catch {
-        case _: IllegalArgumentException =>
+        // ONLY the size-guard trip reroutes (dedicated type) — any other
+        // argument error is a genuine bug and must propagate, not be
+        // silently "healed" by the shuffled tier
+        case _: Dedup.BenchmarkTooLargeException =>
           Dedup.decontaminateJoin(df, textCol, idCol, b, benchTextCol)
       }
 

@@ -81,26 +81,44 @@ object ExternalProcess {
   /** Wait for one response line with a liveness watchdog: a child that
     * block-buffers its stdout (or dies mid-stream) fails the task with a
     * diagnosable error instead of hanging the partition forever.
-    * `ready()` guarantees at least one buffered char, so the subsequent
-    * readLine cannot block indefinitely on a line-at-a-time child. */
+    *
+    * The read is CHARACTER-level against one deadline — never a bare
+    * `readLine()`. `ready()` only guarantees ONE buffered char, so a
+    * child that writes a PARTIAL line and then stalls would pass a
+    * readiness check and hang a line-level read forever (the round-4
+    * hazard); here every char waits under the same deadline, so a
+    * mid-line stall trips the timeout exactly like a no-output stall.
+    * Returns null on EOF-before-any-char (child closed stdout); a partial
+    * line at EOF is returned as-is for the caller's diagnostics. */
   private def readResponse(fromProc: BufferedReader, proc: Process,
                            timeoutMs: Long, what: => String): String = {
     val start = System.nanoTime()
     val deadline = start + timeoutMs * 1000000L
-    while (!fromProc.ready()) {
-      if (!proc.isAlive && !fromProc.ready()) return fromProc.readLine()
-      val now = System.nanoTime()
-      if (now > deadline)
-        throw new java.io.IOException(
-          s"external process response timed out after ${timeoutMs} ms at $what — " +
-            "the child must write AND FLUSH one line per request " +
-            "(block-buffered stdout stalls the lockstep protocol)")
-      // a healthy child answers in microseconds: spin for the first 1 ms
-      // (the hot path — a Thread.sleep here would tax EVERY row by a
-      // scheduler quantum), park 1 ms thereafter (the watchdog path)
-      if (now - start < 1000000L) Thread.onSpinWait() else Thread.sleep(1)
+    val sb = new java.lang.StringBuilder(64)
+    while (true) {
+      if (fromProc.ready()) {
+        val c = fromProc.read()
+        if (c == -1 || c == '\n')
+          return if (c == -1 && sb.length == 0) null else sb.toString
+        if (c != '\r') { sb.append(c.toChar); () }
+      } else if (!proc.isAlive && !fromProc.ready()) {
+        // child exited and the buffer is drained: EOF
+        return if (sb.length == 0) null else sb.toString
+      } else {
+        val now = System.nanoTime()
+        if (now > deadline)
+          throw new java.io.IOException(
+            s"external process response timed out after ${timeoutMs} ms at $what" +
+              (if (sb.length > 0) s" (stalled mid-line after ${sb.length} chars)" else "") +
+              " — the child must write AND FLUSH one line per request " +
+              "(block-buffered stdout stalls the lockstep protocol)")
+        // a healthy child answers in microseconds: spin for the first 1 ms
+        // (the hot path — a Thread.sleep here would tax EVERY row by a
+        // scheduler quantum), park 1 ms thereafter (the watchdog path)
+        if (now - start < 1000000L) Thread.onSpinWait() else Thread.sleep(1)
+      }
     }
-    fromProc.readLine()
+    throw new IllegalStateException("unreachable")
   }
 
   /** Map `(id, text)` rows through an external process, one process per

@@ -259,10 +259,18 @@ class DedupSpec extends AnyFunSuite {
       }
       assert(exchanges.isEmpty, "decontamination must not shuffle the corpus")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    intercept[IllegalArgumentException] {
+    // the size-guard trip is a DEDICATED type (still an IAE for old
+    // callers): CorpusPrep's auto-fallback catches exactly this...
+    intercept[Dedup.BenchmarkTooLargeException] {
       Dedup.decontaminate(corpus, "text", "id", bench, "btext", w = 8,
         maxBenchShingles = 1)
     }
+    // ...while a genuine argument bug raises a PLAIN IAE that the
+    // fallback must NOT swallow — the two are distinguishable by type
+    val plain = intercept[IllegalArgumentException] {
+      Dedup.decontaminate(corpus, "text", "id", bench, "btext", w = 0)
+    }
+    assert(!plain.isInstanceOf[Dedup.BenchmarkTooLargeException])
   }
 
   test("decontaminateJoin is result-identical to the broadcast path (any-size tier)") {

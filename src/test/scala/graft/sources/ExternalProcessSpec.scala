@@ -58,6 +58,25 @@ class ExternalProcessSpec extends AnyFunSuite {
       _.getMessage.contains("timed out")), s"diagnosable timeout error, got: ${ex.getMessage}")
   }
 
+  test("a child stalling MID-LINE (partial output, no newline) times out, not a hang") {
+    import spark.implicits._
+    // writes-and-flushes a line FRAGMENT, then stalls: passes any
+    // readiness check (chars are buffered) so a line-level read would
+    // block forever — the char-level deadline must trip instead
+    val partial = Seq("/bin/sh", "-c",
+      "IFS= read -r l; printf 'half-an-ans'; sleep 999")
+    val ds = spark.range(1).map(i => (i.toLong, "t")).coalesce(1)
+    val t0 = System.nanoTime()
+    val ex = intercept[org.apache.spark.SparkException] {
+      ExternalProcess.mapWithProcess(ds, partial, responseTimeoutMs = 1500L).collect()
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 30.0, s"must fail fast, took $sec s")
+    val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("timed out") && msg.contains("mid-line"),
+      s"expected a mid-line timeout diagnostic, got: $msg")
+  }
+
   test("null text is sent as the empty string instead of NPEing the partition") {
     import spark.implicits._
     val ds = spark.createDataset(Seq((0L, null: String), (1L, "ok"))).coalesce(1)

@@ -51,6 +51,38 @@ class SkewSpec extends AnyFunSuite {
     }.isEmpty)
   }
 
+  test("null keys: sketch tier counts and orders them like the exact tier") {
+    import spark.implicits._
+    // nulls are a real key population in dirty corpora; both tiers must
+    // count them and place them identically (nulls-first within count ties)
+    val df = (Seq.fill(30)(Some("hot")) ++ Seq.fill(30)(Option.empty[String]) ++
+      (0 until 10).map(i => Some(s"cold$i"))).toDF("key").repartition(4)
+    val exact = Skew.topKeysExact(df, "key", 3).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0), r.getLong(1))).toSeq
+    val sketch = Skew.topKeysSketch(df, "key", 3, capacity = 64)
+    assert(exact == sketch, s"tiers disagree on null keys: exact=$exact sketch=$sketch")
+    assert(exact.take(2).map(_._1).toSet == Set(null, "hot"))
+  }
+
+  test("MgBuilder hot path: millions of near-distinct keys in one partition, bounded time") {
+    // the worst case for the sketch (map always full, every absent key
+    // triggers the decrement sweep) — in-place holders keep it to a hash
+    // probe + amortized O(1) sweep per row; the old per-row persistent-Map
+    // rebuild took ~an order of magnitude longer on the same input
+    val b = new Skew.MgBuilder(256)
+    val hot = "heavy"
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 3000000) {
+      b.add(if (i % 10 == 0) hot else s"k${i}")
+      i += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val top = b.result.top(1)
+    assert(top.head._1 == hot, s"the 10% key must survive 3M near-distinct rows: $top")
+    assert(sec < 10.0, f"3M-row fold took $sec%.1f s — hot path regressed")
+  }
+
   test("compaction bin-packs small files without changing content") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
