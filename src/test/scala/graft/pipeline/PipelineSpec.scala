@@ -125,6 +125,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(acc > 0.9, s"97-language accuracy $acc")
   }
 
+  test("confidence is informative: held-out reliability curve is monotone at 97 languages") {
+    import org.apache.spark.sql.{functions => FF}
+    import spark.implicits._
+    val nLangs = 97
+    val trainTurns = Transcripts.generate(spark, nConvs = 3000, seed = 23L,
+      hotFactor = 1, nLangs = nLangs)
+    val labeled = trainTurns.toDF()
+      .withColumn("lang_true",
+        FF.udf((c: String) => Transcripts.truthLang(23L, c, nLangs)).apply(FF.col("conv_id")))
+    val nm = NGramLangId.train(spark, labeled, "lang_true", "text")
+    val bc = spark.sparkContext.broadcast(nm)
+    // held-out seed, NO length filter: short turns are where confidence
+    // must drop — corpus triage keeps "high-confidence" slices, so the
+    // column only earns its place if bucketed accuracy rises with it
+    val scored = Transcripts
+      .generate(spark, nConvs = 600, seed = 37L, hotFactor = 1, nLangs = nLangs)
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { t =>
+          val (lab, conf) = m.predictWithConf(t.text)
+          (if (lab == Transcripts.truthLang(37L, t.conv_id, nLangs)) 1.0 else 0.0, conf)
+        }
+      }.toDF("correct", "conf").cache()
+    // reliability data: tercile bins by confidence (quantile cutoffs)
+    val cuts = scored.stat.approxQuantile("conf", Array(1.0 / 3, 2.0 / 3), 0.001)
+    val bins = scored
+      .withColumn("bin", FF.when(FF.col("conf") <= cuts(0), 0)
+        .when(FF.col("conf") <= cuts(1), 1).otherwise(2))
+      .groupBy("bin")
+      .agg(FF.avg("correct").as("acc"), FF.count(FF.lit(1)).as("n"),
+        FF.avg("conf").as("mean_conf"))
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    scored.unpersist()
+    info(s"reliability terciles (bin, acc, n, mean_conf): ${bins.mkString(" ")}")
+    assert(bins.length == 3 && bins.forall(_._3 > 100), s"thin bins: ${bins.toSeq}")
+    val accs = bins.map(_._2)
+    assert(accs(2) > accs(0),
+      s"top-confidence tercile must beat the bottom: ${accs.toSeq}")
+    // monotone within noise tolerance — the reliability-curve shape
+    assert(accs(1) >= accs(0) - 0.02 && accs(2) >= accs(1) - 0.02,
+      s"reliability curve not monotone: ${accs.toSeq}")
+  }
+
   test("row_fp replica matches the SQL xxhash64 expression") {
     val df = Transcripts.generate(spark, nConvs = 20, seed = 31L, hotFactor = 1).toDF()
       .withColumn("sql_fp", F.xxhash64(F.col("conv_id"), F.col("turn_idx"), F.col("text")))

@@ -69,6 +69,49 @@ class PlansSpec extends AnyFunSuite {
     assert(nChunks == Splitter.splitSnippet(docs.head._2, 1).length)
   }
 
+  test("documented spark.sql.extensions CONFIG path registers the SQL surface end-to-end") {
+    import org.apache.spark.sql.SparkSession
+    // spark.sql.extensions is a STATIC conf, applied when the
+    // SparkContext is created — a shared-context test JVM cannot set it
+    // after the fact. Prove the config path's two halves instead:
+    // (1) the contract the config string relies on — the class is
+    // loadable BY NAME with a zero-arg constructor and the
+    // SparkSessionExtensions => Unit shape (this reflective instantiation
+    // is exactly what SparkSession.applyExtensions does with the conf
+    // value at startup);
+    val byName = Class.forName("graft.plans.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    // (2) injection through the SparkSessionExtensions hook reaches the
+    // SQL surface of a NEW session end-to-end. Shares the JVM's
+    // SparkContext; must NOT be stopped, only un-defaulted.
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]").appName("graft-ext-config")
+      .withExtensions(byName)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      docs.toDF("id", "text").createOrReplaceTempView("ext_docs")
+      val bits = s2.sql(
+        "SELECT multi_contains(text, 'def ', 'main') AS b FROM ext_docs WHERE id = 1")
+        .head().getSeq[Boolean](0)
+      assert(bits == Seq(true, true))
+      // the generator through the documented LATERAL VIEW form
+      val snips = s2.sql(
+        "SELECT s.snip FROM ext_docs LATERAL VIEW split_snippets(text, 1) s AS snip " +
+          "WHERE id = 1").collect().map(_.getString(0))
+      assert(snips.toSeq == Splitter.splitSnippet(docs.head._2, 1).toSeq)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prev.foreach(SparkSession.setDefaultSession)
+      prev.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("structural predicates: Scala and Column forms agree with JS semantics") {
     import graft.functions.StructuralPredicates._
     val samples = Seq(
