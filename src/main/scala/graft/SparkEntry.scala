@@ -269,6 +269,28 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Gopher-family repetition signals (dup-line fraction, dup-line char
+    // fraction, ellipsis-line fraction — Rae et al. 2021 Table A1): one
+    // narrow codegen'd stage of higher-order array functions over the
+    // in-row line array, no explode/shuffle/UDF. Repetition is planted
+    // deterministically (doc_id % 3) INSIDE the query so both engines
+    // construct identical input — the raw word-soup docs carry no
+    // repetition of their own.
+    "q62_repetition" -> ((s, dir) => {
+      val injected = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit("\n"), substring(col("text"), 1, 30),
+          lit("\n"), substring(col("text"), 1, 30), lit("\nto be continued...")))
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), injected.as("text2"))
+        .select(col("doc_id"),
+          graft.quality.Repetition.nLines(col("text2")).as("n_lines"),
+          graft.quality.Repetition.dupLineFrac(col("text2")).as("dup_line_frac"),
+          graft.quality.Repetition.dupLineCharFrac(col("text2")).as("dup_line_char_frac"),
+          graft.quality.Repetition.ellipsisLineFrac(col("text2")).as("ellipsis_line_frac"))
+        .orderBy("doc_id")
+    }),
+
     // sequence packing: docs -> fixed token-budget training chunks by
     // running token total per source shard (one keyed window shuffle,
     // never a global order); per-chunk doc/token counts under the gate
@@ -925,6 +947,34 @@ object SparkEntry {
       "q60_heavy_hitters" ->
         """SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
           |FROM events GROUP BY 1 ORDER BY n DESC, key LIMIT 20""".stripMargin,
+      // repetition signals: identical planted-repetition construction,
+      // integer counts/sums then ONE double division per signal (order
+      // of operations mirrored for bit-equality)
+      "q62_repetition" ->
+        """WITH inj AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 3 = 0
+          |      THEN text || chr(10) || substr(text, 1, 30) || chr(10)
+          |           || substr(text, 1, 30) || chr(10) || 'to be continued...'
+          |      ELSE text END AS text2
+          |  FROM documents),
+          |l AS (SELECT doc_id,
+          |        list_filter(string_split(text2, chr(10)), x -> len(x) > 0) AS ls
+          |      FROM inj)
+          |SELECT doc_id,
+          |  CAST(len(ls) AS BIGINT) AS n_lines,
+          |  CAST(CASE WHEN len(ls) = 0 THEN 0.0
+          |    ELSE 1.0 - (CAST(len(list_distinct(ls)) AS DOUBLE) / CAST(len(ls) AS DOUBLE))
+          |    END AS DOUBLE) AS dup_line_frac,
+          |  CAST(CASE WHEN len(ls) = 0 THEN 0.0
+          |    ELSE CAST(list_sum(list_transform(ls, x ->
+          |           CASE WHEN len(list_filter(ls, y -> y = x)) > 1 THEN len(x) ELSE 0 END)) AS DOUBLE)
+          |         / CAST(list_sum(list_transform(ls, x -> len(x))) AS DOUBLE)
+          |    END AS DOUBLE) AS dup_line_char_frac,
+          |  CAST(CASE WHEN len(ls) = 0 THEN 0.0
+          |    ELSE CAST(len(list_filter(ls, x -> x LIKE '%...')) AS DOUBLE) / CAST(len(ls) AS DOUBLE)
+          |    END AS DOUBLE) AS ellipsis_line_frac
+          |FROM l ORDER BY doc_id""".stripMargin,
       // compaction repacks files, never rows
       "q61_compaction" ->
         """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -1,0 +1,67 @@
+package graft.quality
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+
+/** Document-level REPETITION signals — the Gopher-family quality rules
+  * (Rae et al. 2021, "Scaling Language Models", Table A1) that catch
+  * boilerplate, scraped navigation, and degenerate generation loops,
+  * complementing `Rules`' length/ratio gates and the pipeline's
+  * conversation-window repeat detector:
+  *
+  *  - `dupLineFrac`:     fraction of (nonempty) lines that are duplicates
+  *  - `dupLineCharFrac`: fraction of line characters inside duplicated
+  *                       lines (weights long boilerplate correctly)
+  *  - `ellipsisLineFrac`: fraction of lines ending in "..." (truncated
+  *                       scrapes / listicle navigation)
+  *
+  * Scale shape: everything is Catalyst higher-order functions over ONE
+  * in-row line array — no explode, no shuffle, no UDF; a corpus scan
+  * computes all signals in a single narrow codegen'd stage. The
+  * duplicate-char count is O(L²) in LINES PER DOCUMENT (an in-row
+  * constant, tens-to-hundreds — not corpus size), the price of staying
+  * allocation-free inside codegen; a per-row hash map would need a UDF
+  * and lose whole-stage codegen for every other column in the stage.
+  *
+  * Semantics are defined so a SQL engine reproduces them bit-exactly
+  * (driver oracle): integer counts/sums, then ONE double division — see
+  * SparkEntry's q62 oracle SQL.
+  */
+object Repetition {
+
+  /** Nonempty lines of `text` (empty lines carry no repetition signal
+    * and would dominate the fractions on blank-padded docs). */
+  def lines(text: Column): Column =
+    F.filter(F.split(text, "\n"), x => F.length(x) > 0)
+
+  def nLines(text: Column): Column = F.size(lines(text)).cast("long")
+
+  /** 1 - distinct/total over nonempty lines; 0.0 for line-less docs. */
+  def dupLineFrac(text: Column): Column = {
+    val ls = lines(text)
+    F.when(F.size(ls) === 0, 0.0).otherwise(
+      F.lit(1.0) - F.size(F.array_distinct(ls)).cast("double")
+        / F.size(ls).cast("double"))
+  }
+
+  /** Fraction of line characters belonging to lines that occur more than
+    * once; 0.0 for line-less docs. */
+  def dupLineCharFrac(text: Column): Column = {
+    val ls = lines(text)
+    val dupChars = F.aggregate(
+      F.transform(ls, x =>
+        F.when(F.size(F.filter(ls, y => y === x)) > 1, F.length(x)).otherwise(0)),
+      F.lit(0), (acc, x) => acc + x)
+    val allChars = F.aggregate(F.transform(ls, x => F.length(x)), F.lit(0), (acc, x) => acc + x)
+    F.when(F.size(ls) === 0, 0.0).otherwise(
+      dupChars.cast("double") / allChars.cast("double"))
+  }
+
+  /** Fraction of nonempty lines ending in "..."; 0.0 for line-less docs. */
+  def ellipsisLineFrac(text: Column): Column = {
+    val ls = lines(text)
+    F.when(F.size(ls) === 0, 0.0).otherwise(
+      F.size(F.filter(ls, x => x.endsWith("...")))
+        .cast("double") / F.size(ls).cast("double"))
+  }
+}
