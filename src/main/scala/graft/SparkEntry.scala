@@ -291,6 +291,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // domain-mix temperature weights (multi-source sampling, tau=0.5):
+    // one map-side-combined aggregate, normalization over the one-row-
+    // per-source result. weight_prop is the exact integer-ratio tau=1
+    // mix; weight_t05 is rounded to 6 (pow/sqrt agree to <1 ulp across
+    // engines, rounding absorbs it — q18's cosine precedent)
+    "q63_domain_mix" -> ((s, dir) =>
+      graft.etl.Sampling.temperatureWeights(
+          t(s, dir, "documents"), "source", tokenCount(col("text")), tau = 0.5)
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("weight_prop"), round(col("weight_tau"), 6).as("weight_t05"))
+        .orderBy("source")),
+
     // sequence packing: docs -> fixed token-budget training chunks by
     // running token total per source shard (one keyed window shuffle,
     // never a global order); per-chunk doc/token counts under the gate
@@ -947,6 +959,18 @@ object SparkEntry {
       "q60_heavy_hitters" ->
         """SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
           |FROM events GROUP BY 1 ORDER BY n DESC, key LIMIT 20""".stripMargin,
+      // domain mix: integer token sums then single divisions (exact for
+      // weight_prop); the temperature weight is rounded to 6
+      "q63_domain_mix" ->
+        s"""WITH per AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |         CAST(sum($tokSql) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY 1)
+           |SELECT source, n_docs, n_tokens,
+           |  CAST(n_tokens AS DOUBLE) / CAST((SELECT sum(n_tokens) FROM per) AS DOUBLE) AS weight_prop,
+           |  round(sqrt(CAST(n_tokens AS DOUBLE))
+           |        / (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) FROM per), 6) AS weight_t05
+           |FROM per ORDER BY source""".stripMargin,
       // repetition signals: identical planted-repetition construction,
       // integer counts/sums then ONE double division per signal (order
       // of operations mirrored for bit-equality)

@@ -46,6 +46,34 @@ object Sampling {
     }
   }
 
+  /** DOMAIN-MIX temperature weights — the multi-source reweighting step
+    * of a pretraining data pipeline (the "sampling temperature" of
+    * XLM-R/CCNet-style multi-corpus training): per source s with token
+    * mass n_s, sampling weight w_s = n_s^tau / sum_t(n_t^tau). tau = 1
+    * reproduces the natural (proportional) mix; tau -> 0 approaches
+    * uniform over sources, up-sampling small domains.
+    *
+    * Scale shape: ONE shuffle (the per-source aggregate with map-side
+    * partial sums); the normalization runs on the aggregated frame — one
+    * row per source, a broadcast-scale table — so the unpartitioned
+    * window is over dozens of rows, never data. Output: (source, n_docs,
+    * n_tokens, weight_prop, weight_tau) with weight_prop the exact
+    * integer-ratio tau=1 weight. */
+  def temperatureWeights(df: DataFrame, sourceCol: String, sizeExpr: Column,
+                         tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(sourceCol)
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum(sizeExpr).cast("long").as("n_tokens"))
+    val all = Window.partitionBy() // one row per source: broadcast-scale
+    per
+      .withColumn("__scaled", F.pow(F.col("n_tokens").cast("double"), F.lit(tau)))
+      .withColumn("weight_prop",
+        F.col("n_tokens").cast("double") / F.sum("n_tokens").over(all).cast("double"))
+      .withColumn("weight_tau", F.col("__scaled") / F.sum("__scaled").over(all))
+      .drop("__scaled")
+  }
+
   /** O3 per-group head: first n rows per group by ordering. */
   def groupHead(df: DataFrame, n: Int, groupCol: String, orderCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

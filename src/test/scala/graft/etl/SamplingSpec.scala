@@ -53,4 +53,32 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(Sampling.rebalance(balanced, "cls", maxRatio = 2.0, 42L, "id").count() == 100)
   }
+
+  test("temperature weights: tau=1 is the natural mix, tau<1 up-samples small domains") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    // 3 sources with token masses 8000 / 1000 / 1000 (docs of 10 tokens)
+    val docs = (
+      (1 to 800).map(i => (s"big", 10)) ++
+      (1 to 100).map(i => (s"mid", 10)) ++
+      (1 to 100).map(i => (s"sml", 10))).toDF("source", "tok")
+    def weights(tau: Double): Map[String, (Double, Double)] =
+      Sampling.temperatureWeights(docs, "source", F.col("tok"), tau)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(3), r.getDouble(4))).toMap
+    val w1 = weights(1.0)
+    // tau=1: weight_tau == weight_prop == exact integer ratio
+    assert(w1("big") == (0.8, 0.8) && w1("mid") == (0.1, 0.1))
+    assert(math.abs(w1.values.map(_._2).sum - 1.0) < 1e-12)
+    val w05 = weights(0.5)
+    // temperature flattens: majority share shrinks, minority share grows
+    assert(w05("big")._2 < 0.8 && w05("sml")._2 > 0.1,
+      s"tau=0.5 must flatten the mix: $w05")
+    // sqrt mix exactly: sqrt(8000)/(sqrt(8000)+2*sqrt(1000))
+    val expBig = math.sqrt(8000.0) / (math.sqrt(8000.0) + 2 * math.sqrt(1000.0))
+    assert(math.abs(w05("big")._2 - expBig) < 1e-9)
+    // tau -> 0 approaches uniform over sources
+    val w0 = weights(0.0)
+    assert(math.abs(w0("big")._2 - 1.0 / 3) < 1e-12)
+  }
 }
