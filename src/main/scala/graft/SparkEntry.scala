@@ -291,6 +291,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // top word-bigram char fraction (the remaining Gopher repetition
+    // signal, catches generation loops no line-dup sees): native
+    // codegen'd expression, O(words) exact hash count per row — the
+    // built-in higher-order-function form would be O(words^2)
+    "q64_top_ngram" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.plans.GraftFunctions.topNgramCharFrac(col("text"), 2)
+            .as("top_bigram_char_frac"))
+        .orderBy("doc_id")),
+
     // domain-mix temperature weights (multi-source sampling, tau=0.5):
     // one map-side-combined aggregate, normalization over the one-row-
     // per-source result. weight_prop is the exact integer-ratio tau=1
@@ -959,6 +970,26 @@ object SparkEntry {
       "q60_heavy_hitters" ->
         """SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
           |FROM events GROUP BY 1 ORDER BY n DESC, key LIMIT 20""".stripMargin,
+      // top bigram: same overlapping-window count (list lambdas, O(W^2)
+      // is fine as an oracle), integer count x chars then one division
+      "q64_top_ngram" ->
+        """WITH w AS (
+          |  SELECT doc_id, text,
+          |    list_filter(string_split(regexp_replace(text, '\s+', ' ', 'g'), ' '),
+          |                x -> len(x) > 0) AS ws
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id, text,
+          |    list_transform(generate_series(1, len(ws) - 1),
+          |                   i -> ws[i] || ' ' || ws[i + 1]) AS bg
+          |  FROM w)
+          |SELECT doc_id,
+          |  CAST(CASE WHEN len(bg) = 0 OR len(text) = 0 THEN 0.0
+          |    ELSE CAST(list_max(list_transform(list_distinct(bg),
+          |           x -> len(list_filter(bg, y -> y = x)) * len(x))) AS DOUBLE)
+          |         / CAST(len(text) AS DOUBLE)
+          |  END AS DOUBLE) AS top_bigram_char_frac
+          |FROM g ORDER BY doc_id""".stripMargin,
       // domain mix: integer token sums then single divisions (exact for
       // weight_prop); the temperature weight is rounded to 6
       "q63_domain_mix" ->

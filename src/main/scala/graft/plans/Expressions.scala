@@ -43,6 +43,37 @@ case class MultiContains(child: Expression, tokens: Seq[String])
     copy(child = newChild)
 }
 
+/** Gopher top-n-gram char fraction as a native codegen'd expression:
+  * the per-row hash-count kernel (O(words), `Repetition.topNgramCharFrac`)
+  * is not expressible with built-in higher-order functions in better
+  * than O(words²), so a custom UnaryExpression carries it — generated
+  * code is one static call, keeping the whole stage inside
+  * WholeStageCodegen (a Scala UDF would box and break the stage). */
+case class TopNgramCharFrac(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_ngram_char_frac requires a string column, got ${child.dataType}")
+    else if (n < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_ngram_char_frac requires n >= 1, got $n")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "top_ngram_char_frac"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.quality.Repetition.topNgramCharFrac(input.asInstanceOf[UTF8String].toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.quality.Repetition.topNgramCharFrac($c.toString(), $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): TopNgramCharFrac =
+    copy(child = newChild)
+}
+
 /** G1 as a SQL-facing Generator: split_snippets(text, limit) explodes a
   * file into chunks of >= limit non-empty lines (tail merged), semantics
   * of `create_stack_snippets.py:120-141`. Generators don't participate in

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Column + SQL surface for the custom Catalyst expressions, plus the
@@ -27,6 +28,10 @@ object GraftFunctions {
   def splitSnippets(text: Column, limit: Int): Column =
     ExpressionUtils.column(SplitSnippets(ExpressionUtils.expression(text), Literal(limit)))
 
+  /** Column API for the top n-gram char fraction. */
+  def topNgramCharFrac(text: Column, n: Int): Column =
+    ExpressionUtils.column(TopNgramCharFrac(ExpressionUtils.expression(text), n))
+
   private[plans] def multiContainsBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length >= 2, "multi_contains(text, token, ...)")
     val tokens = exprs.tail.map {
@@ -41,6 +46,16 @@ object GraftFunctions {
     require(exprs.length == 2, "split_snippets(text, limit)")
     SplitSnippets(exprs.head, exprs(1))
   }
+
+  private[plans] def topNgramBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "top_ngram_char_frac(text, n)")
+    val n = exprs(1) match {
+      case Literal(i: Int, IntegerType) => i
+      case other => throw new IllegalArgumentException(
+        s"top_ngram_char_frac n must be an integer literal, got $other")
+    }
+    TopNgramCharFrac(exprs.head, n)
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -53,5 +68,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("split_snippets"),
       new ExpressionInfo(classOf[SplitSnippets].getName, "split_snippets"),
       GraftFunctions.splitSnippetsBuilder))
+    e.injectFunction((
+      FunctionIdentifier("top_ngram_char_frac"),
+      new ExpressionInfo(classOf[TopNgramCharFrac].getName, "top_ngram_char_frac"),
+      GraftFunctions.topNgramBuilder))
   }
 }

@@ -57,6 +57,48 @@ object Repetition {
       dupChars.cast("double") / allChars.cast("double"))
   }
 
+  /** Kernel for the TopNgramCharFrac native expression (and its SQL
+    * function): characters covered by the most frequent word n-gram —
+    * max over distinct grams of (occurrences x gram chars), overlapping
+    * sliding windows — divided by total text chars. Degenerate generation
+    * loops ("the the the...") light this up even when no two LINES match.
+    * O(words) per row via one exact string-count pass (rolling hashes
+    * would risk collision miscounts the bit-exact oracle would catch);
+    * can exceed 1.0 on pathological overlap ("a a a a") — it is a
+    * threshold signal, not a probability. Integer count x length then
+    * ONE double division, so a SQL engine reproduces it bit-exactly.
+    * Called from generated code via the scalac static forwarder. */
+  def topNgramCharFrac(text: String, n: Int): Double = {
+    if (text == null || text.isEmpty) return 0.0
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    if (words.length < n) return 0.0
+    val counts = new java.util.HashMap[String, Array[Int]]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n <= words.length) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      val g = sb.toString
+      var h = counts.get(g)
+      if (h == null) { h = new Array[Int](1); counts.put(g, h) }
+      h(0) += 1
+      i += 1
+    }
+    var maxCov = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cov = e.getValue()(0).toLong * e.getKey.length
+      if (cov > maxCov) maxCov = cov
+    }
+    maxCov.toDouble / text.length
+  }
+
   /** Fraction of nonempty lines ending in "..."; 0.0 for line-less docs. */
   def ellipsisLineFrac(text: Column): Column = {
     val ls = lines(text)

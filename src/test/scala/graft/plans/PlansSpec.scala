@@ -67,6 +67,14 @@ class PlansSpec extends AnyFunSuite {
       "SELECT count(*) FROM (SELECT split_snippets(text, 1) FROM plans_docs WHERE id = 1)")
       .head().getLong(0)
     assert(nChunks == Splitter.splitSnippet(docs.head._2, 1).length)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_ngram_char_frac", GraftFunctions.topNgramBuilder, "built-in")
+    assert(spark.sql(
+      "SELECT top_ngram_char_frac('a b a b a b', 2) AS f").head().getDouble(0) == 9.0 / 11)
+    // non-literal n is rejected with a diagnosable error
+    intercept[Exception] {
+      spark.sql("SELECT top_ngram_char_frac(text, id) FROM plans_docs").collect()
+    }
   }
 
   test("documented spark.sql.extensions CONFIG path registers the SQL surface end-to-end") {

@@ -34,6 +34,30 @@ class RepetitionSpec extends AnyFunSuite {
     assert(signals("one\ntwo\nthree") == (3L, 0.0, 0.0, 0.0))
   }
 
+  test("top n-gram char fraction: goldens, nulls, codegen, SQL surface") {
+    import spark.implicits._
+    // kernel goldens (overlapping windows, char coverage / text chars)
+    assert(Repetition.topNgramCharFrac("a b a b a b", 2) == 9.0 / 11) // "a b" x3 * 3
+    assert(Repetition.topNgramCharFrac("w1 w2 w3", 2) == 5.0 / 8)
+    assert(Repetition.topNgramCharFrac("  x  y  ", 2) == 3.0 / 8)
+    assert(Repetition.topNgramCharFrac("single", 2) == 0.0)
+    assert(Repetition.topNgramCharFrac("", 2) == 0.0)
+    assert(Repetition.topNgramCharFrac(null, 2) == 0.0)
+    assert(Repetition.topNgramCharFrac("spam spam spam spam", 1) == 16.0 / 19)
+    // expression: null row -> null, non-null matches the kernel
+    val df = Seq((1L, "a b a b a b"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select(F.col("id"),
+        graft.plans.GraftFunctions.topNgramCharFrac(F.col("text"), 2).as("f"))
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows(0).getDouble(1) == 9.0 / 11 && rows(1).isNullAt(1))
+    // stays inside whole-stage codegen over a file source
+    val scan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(graft.plans.GraftFunctions.topNgramCharFrac(F.col("text"), 2).as("f"))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"), plan)
+  }
+
   test("all four signals compute in one narrow stage: no shuffle, no UDF") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, f"line a\nline b\nline a\ndoc $i%03d"))
