@@ -291,6 +291,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C4-family line-level cleaning: terminal-punctuation + min-words +
+    // javascript/brace line rules, lorem-ipsum doc drop — the canonical
+    // web-cleaning recipe as one narrow higher-order-function stage.
+    // Deterministic prose/boilerplate lines are planted IN the query
+    // (word-soup docs have no natural C4 structure); md5 of the rebuilt
+    // text gates byte-exact line-edit parity.
+    "q65_c4_line_filter" -> ((s, dir) => {
+      val planted = when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit("\nLorem Ipsum dolor sit.")))
+        .otherwise(when(col("doc_id") % 2 === 0,
+          concat(col("text"),
+            lit("\nThis is a good sentence."),
+            lit("\nPlease enable javascript to continue."),
+            lit("\nshort."),
+            lit("\ntemplate braces { are here.")))
+          .otherwise(col("text")))
+      t(s, dir, "documents").select(col("doc_id"), planted.as("t2"))
+        .filter(!graft.quality.C4Rules.dropDoc(col("t2")))
+        .select(col("doc_id"),
+          size(graft.quality.C4Rules.filterLines(col("t2"))).cast("long").as("n_kept"),
+          md5(graft.quality.C4Rules.cleanText(col("t2"))).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // top word-bigram char fraction (the remaining Gopher repetition
     // signal, catches generation loops no line-dup sees): native
     // codegen'd expression, O(words) exact hash count per row — the
@@ -970,6 +994,34 @@ object SparkEntry {
       "q60_heavy_hitters" ->
         """SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
           |FROM events GROUP BY 1 ORDER BY n DESC, key LIMIT 20""".stripMargin,
+      // C4 line filter: same planted construction, same line predicate,
+      // md5 of the rejoined survivors
+      "q65_c4_line_filter" ->
+        """WITH p AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || 'Lorem Ipsum dolor sit.'
+          |         WHEN doc_id % 2 = 0 THEN text
+          |           || chr(10) || 'This is a good sentence.'
+          |           || chr(10) || 'Please enable javascript to continue.'
+          |           || chr(10) || 'short.'
+          |           || chr(10) || 'template braces { are here.'
+          |         ELSE text END AS t2
+          |  FROM documents),
+          |f AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split(t2, chr(10)), x ->
+          |      regexp_matches(x, '[.!?"]$')
+          |      AND len(list_filter(string_split(regexp_replace(x, '\s+', ' ', 'g'), ' '),
+          |                          w -> len(w) > 0)) >= 3
+          |      AND NOT contains(lower(x), 'javascript')
+          |      AND NOT contains(x, '{')) AS kept
+          |  FROM p
+          |  WHERE NOT contains(lower(t2), 'lorem ipsum'))
+          |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+          |  -- array_to_string of an EMPTY list is NULL in DuckDB but ''
+          |  -- in Spark's array_join: coalesce for parity
+          |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+          |FROM f ORDER BY doc_id""".stripMargin,
       // top bigram: same overlapping-window count (list lambdas, O(W^2)
       // is fine as an oracle), integer count x chars then one division
       "q64_top_ngram" ->
