@@ -12,12 +12,16 @@ import graft.quality.Rules
   * data pipeline actually runs over a raw document table, built from the
   * engine's individually-gated operators:
   *
+  *   0. line cleaning         (optional: C4 terminal-punct/min-words/
+  *       javascript/brace line rules + lorem-ipsum doc drop, q65 —
+  *       BEFORE dedup so fingerprints see the text to be trained on)
   *   1. exact dedup           (keep min-id per fingerprint — q12 family)
   *   2. near-dup drop         (minhash LSH -> components -> canonical, q51)
   *   3. decontamination       (benchmark shingle broadcast, q55; auto-
   *       falls back to the any-size semi-join tier q57 when the
   *       benchmark exceeds broadcast size; optional)
-  *   4. quality rules         (reference junk thresholds — q15 family)
+  *   4. quality rules         (reference junk thresholds — q15 family;
+  *       optional dup-line repetition gate, q62's signal)
   *   4b. quality quantile band (optional: keep docs inside a per-shard
   *       quality-score quantile band — q52's sketch cutoffs + broadcast
   *       band filter, the "drop the worst decile per source" tier)
@@ -44,15 +48,34 @@ object CorpusPrep {
           threshold: Double = 0.7, qualityBand: Option[(Double, Double)] = None,
           bandMetric: Option[Column] = None,
           maxBenchShingles: Int = 50000000,
+          lineClean: Boolean = false,
+          maxDupLineFrac: Option[Double] = None,
           report: Boolean = true): (DataFrame, Option[Report]) = {
     val text = F.col(textCol)
     def count1 = F.count(F.lit(1)).as("n")
+    // optional stage 0, C4-family line cleaning (q65's rules): runs
+    // BEFORE dedup, since boilerplate lines mask near-dup structure and
+    // dedup fingerprints should see the text that will be trained on.
+    // Rides the same narrow scan — no extra job. Docs whose every line
+    // is boilerplate (or that carry placeholder text) drop here.
+    def lineCleaned(df: DataFrame): DataFrame =
+      if (!lineClean) df
+      else df.filter(!graft.quality.C4Rules.dropDoc(text))
+        .withColumn(textCol, graft.quality.C4Rules.cleanText(text))
+        .filter(F.length(text) > 0)
     def junkFree(df: DataFrame): DataFrame = {
       val total = F.length(text).cast("double")
       def ratio(c: Column) = F.when(F.length(text) === 0, 0.0).otherwise(c / total)
-      val rulesKept = df.filter(!Rules.isJunkCol(F.length(text),
+      val ruleKept0 = df.filter(!Rules.isJunkCol(F.length(text),
         TextFunctions.lineCount(text), ratio(TextFunctions.letterCount(text)),
         ratio(TextFunctions.punctCount(text)), ratio(TextFunctions.digitCount(text))))
+      // optional repetition gate (q62's dup-line signal): same narrow
+      // stage as the rules, no extra scan
+      val rulesKept = maxDupLineFrac match {
+        case Some(m) =>
+          ruleKept0.filter(graft.quality.Repetition.dupLineFrac(text) <= m)
+        case None => ruleKept0
+      }
       // optional per-shard quantile band on a per-doc metric ("drop the
       // worst decile per source"): sketch cutoffs (one tiny row per
       // shard) broadcast back over one corpus scan — q52's shape. The
@@ -86,7 +109,7 @@ object CorpusPrep {
       }
 
     if (!report) {
-      val d1 = Dedup.exact(docs, textCol, idCol)
+      val d1 = Dedup.exact(lineCleaned(docs), textCol, idCol)
       val d2 = Dedup.dropNearDups(d1, textCol, idCol,
         w = w, k = k, bands = bands, threshold = threshold)
       val d3 = benchmark match {
@@ -104,7 +127,10 @@ object CorpusPrep {
       val obs2 = Observation(); val obs3 = Observation()
       val obs4 = Observation(); val obsChunks = Observation()
 
-      val d1 = Dedup.exact(docs.observe(obsIn, count1), textCol, idCol)
+      // obsIn observes the RAW input (before line cleaning), so the
+      // report's input count means rows read; afterExactDedup therefore
+      // reflects cleaning + dedup together when lineClean is on
+      val d1 = Dedup.exact(lineCleaned(docs.observe(obsIn, count1)), textCol, idCol)
         .observe(obs1, count1).localCheckpoint(true)
       val d2 = Dedup.dropNearDups(d1, textCol, idCol,
           w = w, k = k, bands = bands, threshold = threshold)

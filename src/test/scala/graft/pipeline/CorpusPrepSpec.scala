@@ -45,6 +45,42 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(3) >= 0L), "every surviving doc gets a chunk_id")
   }
 
+  test("optional stage 0 (C4 line clean) and dup-line gate drop their planted casualties") {
+    import spark.implicits._
+    val base = (0 until 30).map(doc)
+    // lorem doc: dropped whole at stage 0
+    val lorem = ("s0", 200L, base(5)._3 + "\nLorem ipsum dolor sit amet.")
+    // boilerplate-only doc: every line fails the C4 rules -> empty -> dropped
+    val boiler = ("s1", 201L, "Enable javascript now.\nshort.\nno punctuation here")
+    // repetitive doc: same long line 30x (passes junk rules: enough
+    // length/letters/punct) -> dup_line_frac ~0.97 -> dropped by the gate.
+    // Seeds far outside base's range so it is no near-dup of anything.
+    val repLine = (0 until 12).map(j => word(909000L + j)).mkString(" ")
+    val repeaty = ("s0", 202L, Seq.fill(30)(repLine).mkString("\n"))
+    // a doc with a junk trailing line the cleaner REMOVES but keeps the
+    // doc; unique body (cleaning must not turn it into an exact dup)
+    val cleanBody = (0 until 40).map(j => word(555000L + j)).mkString(" ")
+    val cleanable = ("s1", 203L, cleanBody + "\nEnable javascript to view this page.")
+    val docs = (base :+ lorem :+ boiler :+ repeaty :+ cleanable)
+      .toDF("shard", "id", "text")
+
+    // base docs end each word with "." and are one line: they survive
+    // C4 line rules (>= 3 words, terminal '.') untouched
+    val (packed, Some(rep)) = CorpusPrep.run(docs, "text", "id", "shard",
+      tokenBudget = 100L, threshold = 0.5,
+      lineClean = true, maxDupLineFrac = Some(0.5))
+    assert(rep.input == 34)
+    assert(rep.afterExactDedup == 32, "lorem + boilerplate-only drop at stage 0")
+    val rows = packed.collect()
+    val ids = rows.map(r => r.getLong(r.fieldIndex("id"))).toSet
+    assert(!ids(200L) && !ids(201L), "stage-0 casualties")
+    assert(!ids(202L), "dup-line gate casualty")
+    assert(ids(203L), "cleanable doc survives")
+    val r203 = rows.find(r => r.getLong(r.fieldIndex("id")) == 203L).get
+    assert(r203.getString(r203.fieldIndex("text")) == cleanBody,
+      "the javascript line is edited OUT, doc kept")
+  }
+
   test("the report is free: stage counts ride the checkpoint jobs, zero extra jobs") {
     import spark.implicits._
     val base = (0 until 30).map(doc)
