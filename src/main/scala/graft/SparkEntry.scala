@@ -291,6 +291,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus-frequency boilerplate-line removal (RefinedWeb/CCNet shape):
+    // lines occurring in >= 50 distinct docs are removed from every doc.
+    // Gated on the any-size JOIN tier (posexplode -> anti-join -> ordered
+    // rebuild); the broadcast tier is spec-asserted result-identical.
+    // A footer is planted on doc_id % 4 == 0 (125 docs at sf0.01) so a
+    // genuinely frequent line exists.
+    "q66_boilerplate_lines" -> ((s, dir) => {
+      val planted = when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit("\nSubscribe to our newsletter today.")))
+        .otherwise(col("text"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), planted.as("text"))
+      graft.dedup.Dedup.dropBoilerplateLinesJoin(docs, "text", "doc_id", minDocFreq = 50)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_clean"),
+          md5(col("text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // C4-family line-level cleaning: terminal-punctuation + min-words +
     // javascript/brace line rules, lorem-ipsum doc drop — the canonical
     // web-cleaning recipe as one narrow higher-order-function stage.
@@ -994,6 +1012,29 @@ object SparkEntry {
       "q60_heavy_hitters" ->
         """SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
           |FROM events GROUP BY 1 ORDER BY n DESC, key LIMIT 20""".stripMargin,
+      // boilerplate lines: same planted footer, doc-frequency >= 50 set,
+      // per-doc rebuild; the rewrite drops blank lines by construction
+      // in BOTH engines (nonempty-line arrays rejoined)
+      "q66_boilerplate_lines" ->
+        """WITH p AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 4 = 0
+          |      THEN text || chr(10) || 'Subscribe to our newsletter today.'
+          |      ELSE text END AS t2
+          |  FROM documents),
+          |l AS (SELECT doc_id,
+          |        list_filter(string_split(t2, chr(10)), x -> len(x) > 0) AS ls
+          |      FROM p),
+          |e AS (SELECT unnest(list_distinct(ls)) AS line FROM l),
+          |freq AS (SELECT line FROM
+          |          (SELECT line, count(*) AS df FROM e GROUP BY 1) WHERE df >= 50),
+          |fl AS (SELECT coalesce(list(line), []) AS f FROM freq)
+          |SELECT doc_id,
+          |  CAST(len(coalesce(array_to_string(kept, chr(10)), '')) AS BIGINT) AS n_chars_clean,
+          |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+          |FROM (SELECT doc_id, list_filter(ls, x -> NOT list_contains(f, x)) AS kept
+          |      FROM l CROSS JOIN fl)
+          |ORDER BY doc_id""".stripMargin,
       // C4 line filter: same planted construction, same line predicate,
       // md5 of the rejoined survivors
       "q65_c4_line_filter" ->

@@ -451,6 +451,73 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Nonempty lines of `text` (shared by the boilerplate-line tiers). */
+  private def nonEmptyLines(text: org.apache.spark.sql.Column) =
+    F.filter(F.split(text, "\n"), x => F.length(x) > 0)
+
+  /** CORPUS-FREQUENCY boilerplate-line removal (RefinedWeb/CCNet-style):
+    * a line occurring in >= `minDocFreq` DISTINCT documents is navigation
+    * /footer/cookie boilerplate by definition and is removed from EVERY
+    * document — the corpus-level complement to C4Rules' per-line
+    * heuristics (which can only judge a line by its own shape).
+    *
+    * BROADCAST tier: one aggregation shuffle over per-doc-distinct lines
+    * (array_distinct before explode, so the count is doc-frequency
+    * without a countDistinct pair shuffle), then the frequent set — tiny
+    * by construction, boilerplate repeats by definition — returns as a
+    * one-row broadcast and the rewrite is a NARROW per-row array filter:
+    * the corpus itself is never shuffled. Guarded: fails loudly past
+    * `maxFrequentLines` (use the join tier then).
+    * Output: input columns with `textCol` rewritten. */
+  def dropBoilerplateLines(docs: DataFrame, textCol: String, idCol: String,
+                           minDocFreq: Long,
+                           maxFrequentLines: Int = 1000000): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val text = F.col(textCol)
+    val lines = docs.select(
+      F.explode(F.array_distinct(nonEmptyLines(text))).as("__line"))
+    val freq = lines.groupBy("__line").agg(F.count(F.lit(1)).as("__df"))
+      .filter(F.col("__df") >= minDocFreq)
+    val nFreq = freq.limit(maxFrequentLines + 1).count()
+    require(nFreq <= maxFrequentLines,
+      s"> $maxFrequentLines corpus-frequent lines — too many to broadcast; " +
+        "use dropBoilerplateLinesJoin (shuffle-based, any size)")
+    val freqArr = freq.agg(F.collect_list("__line").as("__freq"))
+    docs.crossJoin(F.broadcast(freqArr))
+      .withColumn(textCol,
+        F.array_join(F.filter(nonEmptyLines(text),
+          x => !F.array_contains(F.col("__freq"), x)), "\n"))
+      .drop("__freq")
+  }
+
+  /** Any-size tier of `dropBoilerplateLines`: position-exploded lines
+    * anti-join the frequent set (both sides id+line rows, hash
+    * partitioned), then docs are rebuilt in line order. Two shuffles of
+    * line-sized rows — the honest price when the frequent set itself is
+    * too large to broadcast. Result-identical to the broadcast tier
+    * (DedupSpec asserts it). */
+  def dropBoilerplateLinesJoin(docs: DataFrame, textCol: String, idCol: String,
+                               minDocFreq: Long): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val text = F.col(textCol)
+    val exploded = docs.select(F.col(idCol),
+      F.posexplode(nonEmptyLines(text)).as(Seq("__pos", "__line")))
+    val freq = docs
+      .select(F.explode(F.array_distinct(nonEmptyLines(text))).as("__line"))
+      .groupBy("__line").agg(F.count(F.lit(1)).as("__df"))
+      .filter(F.col("__df") >= minDocFreq)
+      .select("__line")
+    val kept = exploded.join(freq, Seq("__line"), "left_anti")
+      .groupBy(idCol)
+      .agg(F.array_join(
+        F.transform(F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+          s => s("__line")), "\n").as("__clean"))
+    docs.drop(textCol)
+      .join(kept, Seq(idCol), "left")
+      .withColumn(textCol, F.coalesce(F.col("__clean"), F.lit("")))
+      .drop("__clean")
+  }
+
   /** SimHash near-dup pairs: identical 16-bit band ⇒ candidate; verified by
     * Hamming distance <= maxHamming.
     *

@@ -273,6 +273,36 @@ class DedupSpec extends AnyFunSuite {
     assert(!plain.isInstanceOf[Dedup.BenchmarkTooLargeException])
   }
 
+  test("boilerplate-line removal: both tiers agree, guard trips, order survives") {
+    import spark.implicits._
+    // 20 docs of 3 unique lines each; 12 carry a shared footer and 8 a
+    // shared header — both cross the docFreq>=5 bar, placed at DIFFERENT
+    // positions so the ordered rebuild is actually exercised
+    val docs = (0 until 20).map { i =>
+      val body = (0 until 3).map(j => s"unique line $i-$j.").mkString("\n")
+      val withFooter = if (i % 2 == 0 || i % 3 == 0) body + "\nCOMMON FOOTER" else body
+      val t = if (i < 8) "COMMON HEADER\n" + withFooter else withFooter
+      (i.toLong, t)
+    }.toDF("id", "text")
+    def strip(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.collect().map(r => r.getLong(r.fieldIndex("id")) ->
+        r.getString(r.fieldIndex("text"))).toMap
+    val viaBroadcast = strip(Dedup.dropBoilerplateLines(docs, "text", "id", minDocFreq = 5))
+    val viaJoin = strip(Dedup.dropBoilerplateLinesJoin(docs, "text", "id", minDocFreq = 5))
+    assert(viaBroadcast == viaJoin, "tiers must be result-identical")
+    assert(viaBroadcast(0L) == "unique line 0-0.\nunique line 0-1.\nunique line 0-2.",
+      s"header AND footer removed, body order intact: ${viaBroadcast(0L)}")
+    assert(viaBroadcast.values.forall(t =>
+      !t.contains("COMMON FOOTER") && !t.contains("COMMON HEADER")))
+    assert(viaBroadcast.values.count(_.nonEmpty) == 20, "no doc drops, only line edits")
+    // broadcast guard: every line frequent + tiny cap -> loud failure
+    val degenerate = (0 until 10).map(i => (i.toLong, "same\nlines\neverywhere")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.dropBoilerplateLines(degenerate, "text", "id", minDocFreq = 5,
+        maxFrequentLines = 2)
+    }
+  }
+
   test("decontaminateJoin is result-identical to the broadcast path (any-size tier)") {
     import spark.implicits._
     val corpus = base.toDF("id", "text")
