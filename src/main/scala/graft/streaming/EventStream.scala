@@ -32,6 +32,25 @@ object EventStream {
       .groupBy(F.window(F.col("ts"), window, slide), F.col("event_type"))
       .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("total_value"))
 
+  /** Streaming EXACT DEDUP across micro-batches: the first-seen row per
+    * `fpCol` fingerprint wins, later duplicates are dropped, and the
+    * per-key state is CLEANED as the event-time watermark passes — an
+    * unbounded corpus deduped in bounded state, the streaming complement
+    * of `Dedup.exact`. `delay` bounds how far apart (in event time) two
+    * copies may arrive and still be deduplicated; that is the honest
+    * contract of watermark-TTL'd dedup at 10^12 rows — global forever
+    * dedup of a stream needs unbounded state by definition (run the
+    * batch `Dedup.exact` over the sink for that).
+    *
+    * Spark-first: the built-in `dropDuplicatesWithinWatermark` operator
+    * carries the whole state machine (RocksDB-spillable key state,
+    * watermark cleanup); this wrapper fixes the column contract and
+    * documents the semantics. Note the tie-break differs from batch
+    * `Dedup.exact` (min-id): a stream keeps the FIRST-ARRIVED copy. */
+  def dedupStream(docs: DataFrame, fpCol: String, tsCol: String,
+                  delay: String = "10 minutes"): DataFrame =
+    docs.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(fpCol)
+
   /** Stateful sessionization: a session closes after `gapMinutes` of
     * user inactivity (event-time, via ProcessingTime-free state timeout on
     * watermark advance). Emits completed sessions. */

@@ -148,19 +148,15 @@ class PipelineSpec extends AnyFunSuite {
           (if (lab == Transcripts.truthLang(37L, t.conv_id, nLangs)) 1.0 else 0.0, conf)
         }
       }.toDF("correct", "conf").cache()
-    // reliability data: tercile bins by confidence (quantile cutoffs)
-    val cuts = scored.stat.approxQuantile("conf", Array(1.0 / 3, 2.0 / 3), 0.001)
-    val bins = scored
-      .withColumn("bin", FF.when(FF.col("conf") <= cuts(0), 0)
-        .when(FF.col("conf") <= cuts(1), 1).otherwise(2))
-      .groupBy("bin")
-      .agg(FF.avg("correct").as("acc"), FF.count(FF.lit(1)).as("n"),
-        FF.avg("conf").as("mean_conf"))
-      .orderBy("bin").collect()
-      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    // reliability data via the operator: tercile equal-population bins
+    val rel = graft.eval.Calibration.reliabilityTable(scored, "conf", "correct", nBins = 3)
+    val bins = rel.collect()
+      .map(r => (r.getInt(0), r.getDouble(3), r.getLong(1), r.getDouble(2)))
+    val eceVal = graft.eval.Calibration.ece(rel)
     scored.unpersist()
-    info(s"reliability terciles (bin, acc, n, mean_conf): ${bins.mkString(" ")}")
+    info(s"reliability terciles (bin, acc, n, mean_conf): ${bins.mkString(" ")}; ECE=$eceVal")
     assert(bins.length == 3 && bins.forall(_._3 > 100), s"thin bins: ${bins.toSeq}")
+    assert(eceVal >= 0.0 && eceVal <= 1.0)
     val accs = bins.map(_._2)
     assert(accs(2) > accs(0),
       s"top-confidence tercile must beat the bottom: ${accs.toSeq}")

@@ -70,4 +70,29 @@ class EventStreamSpec extends AnyFunSuite {
       assert(total == events.length)
     } finally q.stop()
   }
+
+  test("streaming dedup: cross-micro-batch duplicates drop, first-seen survives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, String)] // (fp, ts_sec, payload)
+    val docs = stream.toDF().toDF("fp", "sec", "payload")
+      .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    val q = EventStream.dedupStream(docs, "fp", "ts", delay = "30 seconds")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, 10L, "first-1"), (2L, 11L, "first-2"))
+      q.processAllAvailable()
+      // batch 2: a cross-batch duplicate of fp=1 (within the watermark
+      // delay) plus a new key — the duplicate must drop, first copy stays
+      stream.addData((1L, 12L, "dup-1"), (3L, 13L, "first-3"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .select("fp", "payload").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet == Set(1L, 2L, 3L), s"one row per fingerprint: $rows")
+      assert(rows(1L) == "first-1", "the FIRST-ARRIVED copy wins")
+      assert(spark.table("dedup_out").count() == 3)
+    } finally q.stop()
+  }
 }
