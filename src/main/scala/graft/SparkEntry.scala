@@ -309,6 +309,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the BROADCAST tier of boilerplate removal under the SAME oracle as
+    // q66 (the q55/q57 dual-gating pattern: both execution paths must
+    // produce identical bytes) — corpus never shuffles on this tier
+    "q67_boilerplate_broadcast" -> ((s, dir) => {
+      val planted = when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit("\nSubscribe to our newsletter today.")))
+        .otherwise(col("text"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), planted.as("text"))
+      graft.dedup.Dedup.dropBoilerplateLines(docs, "text", "doc_id", minDocFreq = 50)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_clean"),
+          md5(col("text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // C4-family line-level cleaning: terminal-punctuation + min-words +
     // javascript/brace line rules, lorem-ipsum doc drop — the canonical
     // web-cleaning recipe as one narrow higher-order-function stage.
@@ -1015,6 +1030,27 @@ object SparkEntry {
       // boilerplate lines: same planted footer, doc-frequency >= 50 set,
       // per-doc rebuild; the rewrite drops blank lines by construction
       // in BOTH engines (nonempty-line arrays rejoined)
+      // broadcast tier: SAME oracle as q66 (dual-gated execution paths)
+      "q67_boilerplate_broadcast" ->
+        """WITH p AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 4 = 0
+          |      THEN text || chr(10) || 'Subscribe to our newsletter today.'
+          |      ELSE text END AS t2
+          |  FROM documents),
+          |l AS (SELECT doc_id,
+          |        list_filter(string_split(t2, chr(10)), x -> len(x) > 0) AS ls
+          |      FROM p),
+          |e AS (SELECT unnest(list_distinct(ls)) AS line FROM l),
+          |freq AS (SELECT line FROM
+          |          (SELECT line, count(*) AS df FROM e GROUP BY 1) WHERE df >= 50),
+          |fl AS (SELECT coalesce(list(line), []) AS f FROM freq)
+          |SELECT doc_id,
+          |  CAST(len(coalesce(array_to_string(kept, chr(10)), '')) AS BIGINT) AS n_chars_clean,
+          |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+          |FROM (SELECT doc_id, list_filter(ls, x -> NOT list_contains(f, x)) AS kept
+          |      FROM l CROSS JOIN fl)
+          |ORDER BY doc_id""".stripMargin,
       "q66_boilerplate_lines" ->
         """WITH p AS (
           |  SELECT doc_id,
