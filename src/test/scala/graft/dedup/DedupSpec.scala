@@ -301,6 +301,25 @@ class DedupSpec extends AnyFunSuite {
       Dedup.dropBoilerplateLines(degenerate, "text", "id", minDocFreq = 5,
         maxFrequentLines = 2)
     }
+    // broadcast-tier plan (AQE off so the physical plan is concrete):
+    // the CORPUS side reaches the output without an exchange — the only
+    // shuffles are on the frequent-set subtree (line-frequency groupBy,
+    // then the single-row collect_list), and the join is a broadcast
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = Dedup.dropBoilerplateLines(docs, "text", "id", minDocFreq = 5)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.length <= 2,
+        s"only the frequent-set aggregations may shuffle, saw ${exchanges.length}")
+      val bcasts = plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(bcasts.nonEmpty, "the frequent set must return as a broadcast")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("decontaminateJoin is result-identical to the broadcast path (any-size tier)") {
