@@ -58,6 +58,28 @@ class RepetitionSpec extends AnyFunSuite {
     assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"), plan)
   }
 
+  test("top n-gram kernel matches a naive recount on random repetitive inputs") {
+    val rnd = new scala.util.Random(7)
+    def naive(text: String, n: Int): Double = {
+      val words = text.split("\\s+").filter(_.nonEmpty).toSeq
+      if (text.isEmpty || words.length < n) 0.0
+      else {
+        val grams = words.sliding(n).map(_.mkString(" ")).toSeq
+        grams.groupBy(identity)
+          .map { case (g, occ) => occ.size.toLong * g.length }
+          .max.toDouble / text.length
+      }
+    }
+    for (i <- 1 to 300) {
+      // small vocab -> dense collisions; random whitespace runs
+      val words = Seq.fill(rnd.nextInt(40))(s"w${rnd.nextInt(4)}")
+      val text = words.mkString(if (i % 3 == 0) "  " else " ")
+      for (n <- 1 to 3)
+        assert(Repetition.topNgramCharFrac(text, n) == naive(text, n),
+          s"kernel/naive disagree on n=$n text=[$text]")
+    }
+  }
+
   test("all four signals compute in one narrow stage: no shuffle, no UDF") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, f"line a\nline b\nline a\ndoc $i%03d"))
