@@ -57,7 +57,8 @@ object Bench {
         val fs = p.getFileSystem(hconf)
         if (fs.exists(p)) fs.delete(p, true)
       }
-      Seq("graft_q59", "graft_q61").foreach { n =>
+      val sfName = new java.io.File(sfDir).getName
+      Seq(s"graft_q59_$sfName", s"graft_q61_$sfName").foreach { n =>
         val p = new org.apache.hadoop.fs.Path(
           new java.io.File(sys.props("java.io.tmpdir"), n).toString)
         val fs = p.getFileSystem(hconf)

@@ -236,7 +236,10 @@ object SparkEntry {
     // reader) is proven in LayoutSpec with task input metrics.
     "q59_range_layout" -> ((s, dir) => {
       val fp = pathFingerprint(s, s"$dir/documents.parquet")
-      val path = new java.io.File(sys.props("java.io.tmpdir"), "graft_q59").toString
+      // per-SF cache dir: Verify (sf0.01) and Bench (sf0.1) runs must not
+      // evict each other's build
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q59_${new java.io.File(dir).getName}").toString
       graft.etl.BuildCache.cachedBuild(s, path, fp) {
         graft.etl.Layout.writeRangeClustered(
           t(s, dir, "documents"), path, numFiles = 8, keys = Seq("doc_id"))
@@ -254,7 +257,8 @@ object SparkEntry {
     // fingerprint-cached like q48/q59.
     "q61_compaction" -> ((s, dir) => {
       val fp = pathFingerprint(s, s"$dir/documents.parquet")
-      val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_q61").toString
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q61_${new java.io.File(dir).getName}").toString
       val splintered = s"$base/in"
       val compacted = s"$base/out"
       graft.etl.BuildCache.cachedBuild(s, compacted, fp) {
