@@ -313,6 +313,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // calibration / reliability table over a SQL-expressible score:
+    // exact quantile cutoffs (percentile == quantile_cont), equal-
+    // population bins, integer-ratio accuracy — the machinery langid's
+    // confidence runs through in PipelineSpec, gated here bit-for-bit
+    "q68_reliability" -> ((s, dir) => {
+      val total = length(col("text")).cast("double")
+      val conf = when(length(col("text")) === 0, 0.0)
+        .otherwise(letterCount(col("text")) / total)
+      val scored = t(s, dir, "documents")
+        .select(conf.as("conf"), (col("n_chars") % 2 === 0).cast("int").as("correct"))
+      graft.eval.Calibration.reliabilityTableExact(scored, "conf", "correct", nBins = 4)
+        .select(col("bin"), col("n"),
+          round(col("mean_conf"), 6).as("mean_conf6"), col("accuracy"))
+        .orderBy("bin")
+    }),
+
     // the BROADCAST tier of boilerplate removal under the SAME oracle as
     // q66 (the q55/q57 dual-gating pattern: both execution paths must
     // produce identical bytes) — corpus never shuffles on this tier
@@ -1031,6 +1047,24 @@ object SparkEntry {
       "q60_heavy_hitters" ->
         """SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
           |FROM events GROUP BY 1 ORDER BY n DESC, key LIMIT 20""".stripMargin,
+      // reliability: identical conf construction, quantile_cont cutoffs
+      // (bit-equal to Spark's percentile), integer-ratio accuracy; only
+      // mean_conf is rounded (sum order differs across engines)
+      "q68_reliability" ->
+        s"""WITH s AS (
+           |  SELECT CASE WHEN length(text) = 0 THEN 0.0
+           |           ELSE $letterCountSql / CAST(length(text) AS DOUBLE) END AS conf,
+           |         CASE WHEN n_chars % 2 = 0 THEN 1 ELSE 0 END AS correct
+           |  FROM documents),
+           |c AS (SELECT quantile_cont(conf, 0.25) AS c1, quantile_cont(conf, 0.5) AS c2,
+           |             quantile_cont(conf, 0.75) AS c3 FROM s),
+           |b AS (SELECT CASE WHEN conf <= c1 THEN 0 WHEN conf <= c2 THEN 1
+           |               WHEN conf <= c3 THEN 2 ELSE 3 END AS bin, conf, correct
+           |      FROM s CROSS JOIN c)
+           |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           |  round(avg(conf), 6) AS mean_conf6,
+           |  CAST(CAST(sum(correct) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
       // boilerplate lines: same planted footer, doc-frequency >= 50 set,
       // per-doc rebuild; the rewrite drops blank lines by construction
       // in BOTH engines (nonempty-line arrays rejoined)

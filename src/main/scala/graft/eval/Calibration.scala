@@ -14,14 +14,8 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   * alike. */
 object Calibration {
 
-  /** (bin, n, mean_conf, accuracy) over `nBins` equal-population
-    * confidence bins, bin 0 = least confident. `correctCol` is 0/1
-    * (numeric or boolean). */
-  def reliabilityTable(df: DataFrame, confCol: String, correctCol: String,
-                       nBins: Int = 10, relErr: Double = 0.001): DataFrame = {
-    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
-    val probs = (1 until nBins).map(_.toDouble / nBins).toArray
-    val cuts = df.stat.approxQuantile(confCol, probs, relErr)
+  private def binAgg(df: DataFrame, confCol: String, correctCol: String,
+                     nBins: Int, cuts: Seq[Double]): DataFrame = {
     val conf = F.col(confCol)
     val bin = cuts.zipWithIndex.foldRight(F.lit(nBins - 1): Column) {
       case ((c, i), acc) => F.when(conf <= c, i).otherwise(acc)
@@ -30,8 +24,37 @@ object Calibration {
       .groupBy("bin")
       .agg(F.count(F.lit(1)).as("n"),
         F.avg(conf).as("mean_conf"),
-        F.avg(F.col(correctCol).cast("double")).as("accuracy"))
+        // exact integer ratio (long sums, ONE division) rather than a
+        // float avg: deterministic and SQL-reproducible bit-for-bit
+        (F.sum(F.col(correctCol).cast("long")).cast("double")
+          / F.count(F.lit(1)).cast("double")).as("accuracy"))
       .orderBy("bin")
+  }
+
+  /** (bin, n, mean_conf, accuracy) over `nBins` equal-population
+    * confidence bins, bin 0 = least confident. `correctCol` is 0/1
+    * (numeric or boolean). Cutoffs from the approxQuantile sketch — the
+    * corpus-scale path. */
+  def reliabilityTable(df: DataFrame, confCol: String, correctCol: String,
+                       nBins: Int = 10, relErr: Double = 0.001): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val probs = (1 until nBins).map(_.toDouble / nBins).toArray
+    val cuts = df.stat.approxQuantile(confCol, probs, relErr)
+    binAgg(df, confCol, correctCol, nBins, cuts.toSeq)
+  }
+
+  /** `reliabilityTable` with EXACT interpolated-quantile cutoffs
+    * (`Quantiles.exact`, i.e. `percentile` — the same definition as a
+    * SQL engine's quantile_cont, so the whole table is oracle-checkable
+    * bit-for-bit). Costs the exact tier's sort-based aggregation: right
+    * for evaluation frames; the sketch variant is the 10^12-row path. */
+  def reliabilityTableExact(df: DataFrame, confCol: String, correctCol: String,
+                            nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    val row = graft.stats.Quantiles.exact(df, F.col(confCol), Seq.empty, probs).head()
+    val cuts = (0 until nBins - 1).map(row.getDouble)
+    binAgg(df, confCol, correctCol, nBins, cuts)
   }
 
   /** Expected Calibration Error over the table `reliabilityTable`
