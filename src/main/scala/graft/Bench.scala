@@ -57,12 +57,17 @@ object Bench {
         val fs = p.getFileSystem(hconf)
         if (fs.exists(p)) fs.delete(p, true)
       }
+      // q59/q61 dirs carry a content-fingerprint suffix (concurrent-
+      // session safety) — clear by prefix over the shared tmpdir
       val sfName = new java.io.File(sfDir).getName
-      Seq(s"graft_q59_$sfName", s"graft_q61_$sfName").foreach { n =>
-        val p = new org.apache.hadoop.fs.Path(
-          new java.io.File(sys.props("java.io.tmpdir"), n).toString)
-        val fs = p.getFileSystem(hconf)
-        if (fs.exists(p)) fs.delete(p, true)
+      val prefixes = Seq(s"graft_q59_${sfName}_", s"graft_q61_${sfName}_")
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (prefixes.exists(f.getName.startsWith)) {
+          val p = new org.apache.hadoop.fs.Path(f.toString)
+          val fs = p.getFileSystem(hconf)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
       }
     }
     val warmCachedQueries = Seq("q48_bucketed_join", "q59_range_layout", "q61_compaction")
@@ -295,19 +300,24 @@ object Bench {
       if (v.nonEmpty) v.min else allRounds.map(_(i).sec).min
     }
     // REPAIR rounds, two triggers: (a) a config has fewer than 4 valid
-    // samples (a contended stretch ate its windows); (b) a config's
-    // provisional efficiency is below the 0.8 gate — boundary probes
-    // cannot see a burst INSIDE a run, so a poisoned min can hide behind
-    // quiet brackets, and extra rounds give that config's min more
-    // chances at a genuinely quiet stretch. Bounded, so a hopeless window
-    // ends with the drift numbers visible rather than an unbounded wait.
+    // samples (a contended stretch ate its windows) — applies to ALL four
+    // configs; (b) the WINDOWED pair's provisional efficiency is below
+    // the 0.8 gate — boundary probes cannot see a burst INSIDE a run, so
+    // a poisoned min can hide behind quiet brackets, and extra rounds
+    // give that config's min more chances at a genuinely quiet stretch.
+    // The efficiency trigger is deliberately NOT applied to the clustered
+    // pair: this box's shuffle-free config tops out at ~0.68 (both
+    // configs hit the same one-socket DRAM-bandwidth ceiling at 32
+    // cores — BASELINE.md's analysis), so an 0.8 target there is
+    // unreachable by construction and would buy the maximum 4 extra
+    // rounds on every run — a permanent window-hunt that lengthens runs
+    // and biases the clustered min-of-N relative to other rounds.
     var extraRounds = 0
     def validCount(i: Int): Int = allRounds.count(r => isValid(r(i)))
     def provEff(iSmall: Int, iBig: Int): Double =
       minFor(iSmall) / ((cpus.toDouble / nSmall) * minFor(iBig))
     def needsRepair: Boolean =
-      (0 until 4).exists(validCount(_) < 4) ||
-        provEff(0, 1) < 0.8 || provEff(2, 3) < 0.8
+      (0 until 4).exists(validCount(_) < 4) || provEff(0, 1) < 0.8
     while (needsRepair && extraRounds < 4) {
       extraRounds += 1
       allRounds += oneRound()
@@ -365,8 +375,13 @@ object Bench {
     // before pass1 (pass1 cold build, pass2 warm read — min reports warm
     // for exactly the queries listed in warm_cached_queries); scaling
     // samples gated per-run by bracketing sentinels.
+    // v6 = v5 with the efficiency repair trigger scoped to the windowed
+    // pair only (the clustered pair's 0.8 is unreachable on this box —
+    // DRAM ceiling — so it bought 4 futile extra rounds every run and
+    // biased the clustered min-of-N; the valid-sample-count trigger still
+    // covers all four configs).
     val methodology =
-      s""""methodology":"v5.cold-pass1.min-of-2.per-run-sentinels",""" +
+      s""""methodology":"v6.cold-pass1.min-of-2.per-run-sentinels.windowed-eff-repair",""" +
       s""""warm_cached_queries":[${warmCachedQueries.map("\"" + _ + "\"").mkString(",")}]"""
     val line =
       f"""{"metric":"total","value":${totalQuerySec + sec4N}%.3f,"unit":"sec",$methodology,"queries":$qs,""" +

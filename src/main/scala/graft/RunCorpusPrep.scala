@@ -11,7 +11,10 @@ import graft.pipeline.CorpusPrep
   *     --input <documents parquet dir/file> --output <dir> \
   *     [--benchmark <parquet with a text column>] [--budget 2048] \
   *     [--threshold 0.7] [--quality-band 0.1:1.0] [--shard-col source] \
-  *     [--id-col doc_id] [--text-col text] [--no-report] [--local N]
+  *     [--id-col doc_id] [--text-col text] [--no-report] [--local N] \
+  *     [--line-clean] [--boilerplate-min-df 50] \
+  *     [--max-dup-line-frac 0.3] [--max-dup-line-char-frac 0.2] \
+  *     [--max-top-ngram-frac 0.18]
   *
   * Writes the packed survivors partitioned by the shard column and prints
   * one JSON status line with the per-stage survivor counts.
@@ -49,6 +52,13 @@ object RunCorpusPrep {
       (lo.toDouble, hi.toDouble)
     }
     val report = !opt.contains("no-report")
+    // quality-signal stages (q62/q64/q65/q66 operators), all off unless
+    // flagged — thresholds are the Gopher/C4/RefinedWeb-style knobs
+    val lineClean = opt.contains("line-clean")
+    val maxDupLineFrac = opt.get("max-dup-line-frac").map(_.toDouble)
+    val maxDupLineCharFrac = opt.get("max-dup-line-char-frac").map(_.toDouble)
+    val maxTopNgramFrac = opt.get("max-top-ngram-frac").map(_.toDouble)
+    val boilerplateMinDf = opt.get("boilerplate-min-df").map(_.toLong)
 
     val spark: SparkSession = opt.get("local") match {
       case Some(n) => GraftSession.local(n.toInt, "graft-corpus-prep")
@@ -64,7 +74,13 @@ object RunCorpusPrep {
     val (packed, rep) = CorpusPrep.run(docs, textCol, idCol, shardCol,
       benchmark = benchmark, benchTextCol = textCol,
       tokenBudget = budget, threshold = threshold,
-      qualityBand = qualityBand, report = report)
+      qualityBand = qualityBand,
+      lineClean = lineClean,
+      maxDupLineFrac = maxDupLineFrac,
+      maxDupLineCharFrac = maxDupLineCharFrac,
+      maxTopNgramCharFrac = maxTopNgramFrac,
+      boilerplateMinDocFreq = boilerplateMinDf,
+      report = report)
 
     packed.write.mode("overwrite").partitionBy(shardCol).parquet(output)
 

@@ -236,10 +236,13 @@ object SparkEntry {
     // reader) is proven in LayoutSpec with task input metrics.
     "q59_range_layout" -> ((s, dir) => {
       val fp = pathFingerprint(s, s"$dir/documents.parquet")
-      // per-SF cache dir: Verify (sf0.01) and Bench (sf0.1) runs must not
-      // evict each other's build
+      // cache dir keyed by SF basename (Verify sf0.01 / Bench sf0.1 must
+      // not evict each other) AND the content fingerprint: fp-keyed dirs
+      // are content-stable by construction, so two concurrent sessions on
+      // the same input converge on the same bytes instead of racing a
+      // cold rebuild's mode-overwrite delete against the other's read
       val path = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q59_${new java.io.File(dir).getName}").toString
+        s"graft_q59_${new java.io.File(dir).getName}_$fp").toString
       graft.etl.BuildCache.cachedBuild(s, path, fp) {
         graft.etl.Layout.writeRangeClustered(
           t(s, dir, "documents"), path, numFiles = 8, keys = Seq("doc_id"))
@@ -257,8 +260,9 @@ object SparkEntry {
     // fingerprint-cached like q48/q59.
     "q61_compaction" -> ((s, dir) => {
       val fp = pathFingerprint(s, s"$dir/documents.parquet")
+      // SF basename + content fingerprint key — same rationale as q59
       val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q61_${new java.io.File(dir).getName}").toString
+        s"graft_q61_${new java.io.File(dir).getName}_$fp").toString
       val splintered = s"$base/in"
       val compacted = s"$base/out"
       graft.etl.BuildCache.cachedBuild(s, compacted, fp) {
@@ -389,6 +393,20 @@ object SparkEntry {
           t(s, dir, "documents"), "source", tokenCount(col("text")), tau = 0.5)
         .select(col("source"), col("n_docs"), col("n_tokens"),
           col("weight_prop"), round(col("weight_tau"), 6).as("weight_t05"))
+        .orderBy("source")),
+
+    // temperature weights APPLIED (the q63 consumer): per-source integer
+    // keep-thresholds sized for 300 expected rows mixed ∝ n_tokens^0.5,
+    // deterministic md5 keep decision per row (the q22 cross-engine
+    // bucket), post-sample mix under the gate. The engine path uses
+    // xxhash64 buckets; this gate injects the md5 bucket so the oracle
+    // can replay the WHOLE pipeline — weights, thresholds, filter — in SQL
+    "q70_temperature_sample" -> ((s, dir) =>
+      graft.etl.Sampling.temperatureSampleWith(
+          t(s, dir, "documents"), "source", tokenCount(col("text")),
+          tau = 0.5, targetRows = 300,
+          bucket = graft.functions.TextFunctions.md5Bucket(col("doc_id"), 10000))
+        .groupBy("source").agg(count(lit(1)).as("n"))
         .orderBy("source")),
 
     // sequence packing: docs -> fixed token-budget training chunks by
@@ -666,6 +684,38 @@ object SparkEntry {
         .select(col("window.start").cast("long").as("w_start"),
           col("event_type"), col("n"))
         .orderBy("w_start", "event_type")
+    }),
+
+    // STREAMING EXACT DEDUP (dropDuplicatesWithinWatermark) replayed over
+    // the events table: first arrival per fingerprint wins, later copies
+    // drop. One AvailableNow batch means every key's state is live for
+    // the whole replay (the initial watermark trails all data), so the
+    // emitted set is EXACTLY the distinct fingerprints — an oracle a SQL
+    // engine can restate; emitting only the fingerprint keeps the result
+    // independent of which copy arrived first (arrival order inside a
+    // batch is partition-order, not deterministic). Cross-batch state
+    // retention + watermark TTL eviction are spec-gated (EventStreamSpec).
+    "q69_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        // ~5 copies per key at sf0.01: every (event_type, user_id mod 100)
+        .withColumn("fp",
+          concat_ws(":", col("event_type"), (col("user_id") % 100).cast("string")))
+        .select(col("fp"), col("ts"))
+      val deduped = graft.streaming.EventStream.dedupStream(
+        stream, "fp", "ts", delay = "10 minutes").select("fp")
+      val qname = s"graft_q69_${streamQuerySeq.incrementAndGet()}"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        deduped.writeStream.format("memory").queryName(qname)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      s.table(qname).orderBy("fp")
     }),
 
     // windowed sessionization (lag + running sum), exact epoch outputs
@@ -1169,6 +1219,27 @@ object SparkEntry {
            |  round(sqrt(CAST(n_tokens AS DOUBLE))
            |        / (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) FROM per), 6) AS weight_t05
            |FROM per ORDER BY source""".stripMargin,
+      // temperature sampling: weights -> thresholds -> md5-bucket filter,
+      // arithmetic order mirrored exactly ((300 * (pow/sumpow)) / n_docs,
+      // then floor(x * 10000)); pow(x, 0.5) on BOTH sides (not sqrt) so
+      // the last-ulp behavior has the best chance of agreeing — and the
+      // floor boundary sits ~1e-12 from any threshold, far beyond ulp noise
+      "q70_temperature_sample" ->
+        s"""WITH per AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |         CAST(sum($tokSql) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY 1),
+           |thr AS (
+           |  SELECT source,
+           |    CAST(floor(least(1.0,
+           |      (300.0 * (pow(CAST(n_tokens AS DOUBLE), 0.5)
+           |        / (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) FROM per)))
+           |      / CAST(n_docs AS DOUBLE)) * 10000) AS INTEGER) AS thr
+           |  FROM per)
+           |SELECT d.source, count(*) AS n
+           |FROM documents d JOIN thr ON d.source = thr.source
+           |WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000) < thr
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
       // repetition signals: identical planted-repetition construction,
       // integer counts/sums then ONE double division per signal (order
       // of operations mirrored for bit-equality)
@@ -1563,6 +1634,11 @@ object SparkEntry {
            |WHERE $cos >= 0.2
            |ORDER BY id_a, id_b""".stripMargin
       },
+      // streaming first-arrival dedup over one AvailableNow batch == the
+      // distinct fingerprint set (state is live for the whole replay)
+      "q69_stream_dedup" ->
+        """SELECT DISTINCT event_type || ':' || CAST(user_id % 100 AS VARCHAR) AS fp
+          |FROM events ORDER BY fp""".stripMargin,
       // streaming windowed counts == batch GROUP BY over aligned 5-minute
       // windows (Complete mode emits every window)
       "q44_stream_windowed" ->

@@ -27,6 +27,13 @@ object Dedup {
   final class BenchmarkTooLargeException(msg: String)
     extends IllegalArgumentException(msg)
 
+  /** `dropBoilerplateLines`' broadcast-size guard tripped: more frequent
+    * lines than the broadcastable cap. Same design as
+    * [[BenchmarkTooLargeException]] — catchable on its own so CorpusPrep's
+    * auto-fallback to the join tier can't swallow genuine bugs. */
+  final class TooManyFrequentLinesException(msg: String)
+    extends IllegalArgumentException(msg)
+
   // ---- shingling / hashing kernels (pure, deterministic) ----
 
   /** 64-bit avalanche mix (splitmix64 finalizer) — stable across JVMs. */
@@ -86,24 +93,52 @@ object Dedup {
   def minhashSignature(text: String, w: Int, k: Int): Array[Long] =
     minhashFromShingles(shingleHashes(text, w), k)
 
-  /** Exact Jaccard of two precomputed shingle-hash arrays (set semantics —
-    * identical to jaccard(), which hashes the same way). */
-  def jaccardOfHashes(a: Array[Long], b: Array[Long]): Double = {
-    if (a.isEmpty && b.isEmpty) return 1.0
-    val sa = new java.util.HashSet[Long]()
-    var i = 0
-    while (i < a.length) { sa.add(a(i)); i += 1 }
-    val sb = new java.util.HashSet[Long]()
-    var inter = 0
-    i = 0
-    while (i < b.length) {
-      val h = b(i)
-      if (sb.add(h) && sa.contains(h)) inter += 1
+  /** Sorted-distinct copy of a hash array (sort + in-place unique); the
+    * input is never mutated. Returns the input object itself when length
+    * <= 1 (already trivially sorted-distinct). */
+  def sortedDistinct(hs: Array[Long]): Array[Long] = {
+    if (hs.length <= 1) return hs
+    val a = hs.clone()
+    java.util.Arrays.sort(a)
+    var n = 1
+    var i = 1
+    while (i < a.length) {
+      if (a(i) != a(n - 1)) { a(n) = a(i); n += 1 }
       i += 1
     }
-    val union = sa.size + sb.size - inter
+    if (n == a.length) a else java.util.Arrays.copyOf(a, n)
+  }
+
+  /** Exact Jaccard of two SORTED-DISTINCT hash arrays: one merge pass over
+    * primitive longs, ZERO allocations — the verify kernel of the
+    * candidate-pair hot loop (q19/q51), where candidate pairs outnumber
+    * rows at high-recall band settings and two boxed HashSets per pair
+    * were the profiler's next line. Callers must uphold the
+    * sorted-distinct precondition (`shinglesUdf` emits it; `sortedDistinct`
+    * establishes it for arbitrary arrays). */
+  def jaccardOfSortedDistinct(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i)
+      val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
     if (union == 0) 1.0 else inter.toDouble / union
   }
+
+  /** Exact Jaccard of two precomputed shingle-hash arrays (set semantics —
+    * identical to jaccard(), which hashes the same way). Accepts arbitrary
+    * (unsorted, duplicate-carrying) arrays; the pipeline's hot path skips
+    * the normalization by producing sorted-distinct arrays at shingle
+    * time. */
+  def jaccardOfHashes(a: Array[Long], b: Array[Long]): Double =
+    jaccardOfSortedDistinct(sortedDistinct(a), sortedDistinct(b))
 
   /** 64-bit SimHash over word unigram hashes. */
   def simhash(text: String): Long = {
@@ -156,11 +191,16 @@ object Dedup {
   private val minhashUdf =
     F.udf((text: String, w: Int, k: Int) => minhashSignature(text, w, k))
   private val simhashUdf = F.udf((text: String) => simhash(text))
-  private val shinglesUdf = F.udf((text: String, w: Int) => shingleHashes(text, w))
+  // emits SORTED-DISTINCT arrays: set semantics are what every consumer
+  // wants (minhash mins, decontaminate membership, Jaccard sets), and it
+  // lets the pair-verify kernel merge-count with zero per-pair work
+  private val shinglesUdf =
+    F.udf((text: String, w: Int) => sortedDistinct(shingleHashes(text, w)))
   private val minhashOfShinglesUdf =
     F.udf((sh: Array[Long], k: Int) => minhashFromShingles(sh, k))
+  // inputs come from shinglesUdf, so the sorted-distinct precondition holds
   private val jaccardHashesUdf =
-    F.udf((a: Array[Long], b: Array[Long]) => jaccardOfHashes(a, b))
+    F.udf((a: Array[Long], b: Array[Long]) => jaccardOfSortedDistinct(a, b))
 
   def withMinhash(df: DataFrame, textCol: String, w: Int = 3, k: Int = 32): DataFrame =
     df.withColumn("minhash", minhashUdf(F.col(textCol), F.lit(w), F.lit(k)))
@@ -275,25 +315,37 @@ object Dedup {
     * O(log diameter) rounds, so maxIter=25 covers diameters beyond 2^20.
     * Near-clique clusters (the common near-dup case) still converge in
     * <= 2 rounds and never pay the extra join.
-    * Each round's result is localCheckpoint'ed: iterative self-joins
-    * otherwise DOUBLE the logical plan per round (2^rounds analyzer blowup
-    * — the classic iterative-DataFrame OOM), and at scale you'd recompute
-    * the whole history every round.
+    * Each round's result is checkpointed: iterative self-joins otherwise
+    * DOUBLE the logical plan per round (2^rounds analyzer blowup — the
+    * classic iterative-DataFrame OOM), and at scale you'd recompute the
+    * whole history every round. `reliable = false` (default) uses
+    * `localCheckpoint` — executor-local blocks, fast, but NOT
+    * fault-tolerant: losing an executor at iteration 20 of a 100 TB
+    * dedup kills the whole job. Pass `reliable = true` on a real cluster
+    * to write each round through `checkpoint()` to the configured
+    * `sparkContext.setCheckpointDir` (HDFS/S3) — an executor loss then
+    * recovers from the checkpoint instead of restarting the job; the
+    * per-round write is (node,label)-sized, not corpus-sized.
     * Returns (node, comp) with comp = min id in the component; nodes
     * appearing in no pair are singletons and are not emitted (their
     * component is trivially themselves). */
   def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                 maxIter: Int = 25): DataFrame = {
+                 maxIter: Int = 25, reliable: Boolean = false): DataFrame = {
+    if (reliable)
+      require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "components(reliable = true) needs sparkContext.setCheckpointDir " +
+          "(a fault-tolerant FS path); the localCheckpoint default covers " +
+          "exactly the no-checkpoint-dir case")
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // materialize the pair list ONCE before the two-direction union —
     // otherwise each union branch re-executes the upstream plan (for
     // minhash pairs that is the candidate join + exact-verify kernel,
     // the dominant cost of the whole dedup)
-    val p = pairs.select(F.col(idA).as("src"), F.col(idB).as("dst"))
-      .localCheckpoint(true)
-    val edges = p.union(p.select(F.col("dst").as("src"), F.col("src").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(F.col("src").as("node")).distinct()
-      .withColumn("comp", F.col("node")).localCheckpoint(true)
+    val p = snap(pairs.select(F.col(idA).as("src"), F.col(idB).as("dst")))
+    val edges = snap(p.union(p.select(F.col("dst").as("src"), F.col("src").as("dst"))))
+    var labels = snap(edges.select(F.col("src").as("node")).distinct()
+      .withColumn("comp", F.col("node")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -308,19 +360,18 @@ object Dedup {
         .select(F.col("node"), F.col("comp").as("__prev"),
           F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).as("comp"))
       val next =
-        if (iter < 2) propagated.localCheckpoint(true)
+        if (iter < 2) snap(propagated)
         else {
           // pointer jumping (rounds 3+ only — a cluster still unconverged
           // here has diameter > 2): label <- label(label). Every comp value
           // is itself a node (labels are mins over node ids), so the
           // self-join always hits; checkpoint first so the self-join reads
           // materialized rows instead of re-running the propagation join.
-          val p = propagated.localCheckpoint(true)
-          p.join(p.select(F.col("node").as("comp"), F.col("comp").as("__j")),
+          val pj = snap(propagated)
+          snap(pj.join(pj.select(F.col("node").as("comp"), F.col("comp").as("__j")),
               Seq("comp"), "left")
             .select(F.col("node"), F.col("__prev"),
-              F.coalesce(F.col("__j"), F.col("comp")).as("comp"))
-            .localCheckpoint(true)
+              F.coalesce(F.col("__j"), F.col("comp")).as("comp")))
         }
       // labels only ever decrease (least/label-of-label), so "changed" is a
       // strict decrease
@@ -455,39 +506,71 @@ object Dedup {
   private def nonEmptyLines(text: org.apache.spark.sql.Column) =
     F.filter(F.split(text, "\n"), x => F.length(x) > 0)
 
+  /** 64-bit hash of one line (31-poly over UTF-16 units, mix64 finish) —
+    * the boilerplate broadcast tier's probe key, computed identically on
+    * the count side and the rewrite side (both in the JVM, so no
+    * cross-engine hash contract to keep). */
+  @inline def lineHash(s: String): Long = {
+    var h = 1125899906842597L
+    var k = 0
+    while (k < s.length) { h = 31 * h + s.charAt(k); k += 1 }
+    mix64(h)
+  }
+
   /** CORPUS-FREQUENCY boilerplate-line removal (RefinedWeb/CCNet-style):
     * a line occurring in >= `minDocFreq` DISTINCT documents is navigation
     * /footer/cookie boilerplate by definition and is removed from EVERY
     * document — the corpus-level complement to C4Rules' per-line
     * heuristics (which can only judge a line by its own shape).
     *
-    * BROADCAST tier: one aggregation shuffle over per-doc-distinct lines
-    * (array_distinct before explode, so the count is doc-frequency
-    * without a countDistinct pair shuffle), then the frequent set — tiny
-    * by construction, boilerplate repeats by definition — returns as a
-    * one-row broadcast and the rewrite is a NARROW per-row array filter:
-    * the corpus itself is never shuffled. Guarded: fails loudly past
-    * `maxFrequentLines` (use the join tier then).
+    * BROADCAST tier: lines hash to 64 bits BEFORE the frequency count,
+    * so the one aggregation shuffle moves 8-byte keys (per-doc-distinct
+    * via array_distinct, so the count is doc-frequency without a
+    * countDistinct pair shuffle), the frequent set broadcasts as a
+    * SORTED primitive `Array[Long]` (8 B/line flat — ~400 MB at the
+    * 50M-line cap, vs 40+ B/entry for boxed strings), and the rewrite is
+    * a NARROW per-row pass probing each line by BINARY SEARCH — O(lines
+    * x log n) per doc, not the O(lines x n) an `array_contains` scan
+    * costs: the corpus itself is never shuffled. Guarded: fails loudly
+    * past `maxFrequentLines` (use the join tier then).
+    *
+    * Hash-membership stance (same as `decontaminate`): a 64-bit
+    * collision between a document line and one of <= 50M frequent lines
+    * removes a non-boilerplate line with probability ~n/2^64 per
+    * distinct line — negligible against the boilerplate threshold's own
+    * fuzziness; the join tier compares exact strings when that matters.
     * Output: input columns with `textCol` rewritten. */
   def dropBoilerplateLines(docs: DataFrame, textCol: String, idCol: String,
                            minDocFreq: Long,
-                           maxFrequentLines: Int = 1000000): DataFrame = {
+                           maxFrequentLines: Int = 50000000): DataFrame = {
     require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
     val text = F.col(textCol)
-    val lines = docs.select(
-      F.explode(F.array_distinct(nonEmptyLines(text))).as("__line"))
-    val freq = lines.groupBy("__line").agg(F.count(F.lit(1)).as("__df"))
+    val hashUdf = F.udf((s: String) => lineHash(s))
+    val rows = docs
+      .select(F.explode(F.array_distinct(nonEmptyLines(text))).as("__line"))
+      .select(hashUdf(F.col("__line")).as("__h"))
+      .groupBy("__h").agg(F.count(F.lit(1)).as("__df"))
       .filter(F.col("__df") >= minDocFreq)
-    val nFreq = freq.limit(maxFrequentLines + 1).count()
-    require(nFreq <= maxFrequentLines,
-      s"> $maxFrequentLines corpus-frequent lines — too many to broadcast; " +
-        "use dropBoilerplateLinesJoin (shuffle-based, any size)")
-    val freqArr = freq.agg(F.collect_list("__line").as("__freq"))
-    docs.crossJoin(F.broadcast(freqArr))
-      .withColumn(textCol,
-        F.array_join(F.filter(nonEmptyLines(text),
-          x => !F.array_contains(F.col("__freq"), x)), "\n"))
-      .drop("__freq")
+      .select("__h").limit(maxFrequentLines + 1).collect()
+    if (rows.length > maxFrequentLines)
+      throw new TooManyFrequentLinesException(
+        s"> $maxFrequentLines corpus-frequent lines " +
+          s"(~${maxFrequentLines.toLong * 8 / (1 << 20)} MB broadcast cap) — " +
+          "too many to broadcast; use dropBoilerplateLinesJoin (shuffle-based, any size)")
+    val freq = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) { freq(i) = rows(i).getLong(0); i += 1 }
+    java.util.Arrays.sort(freq)
+    val bc = docs.sparkSession.sparkContext.broadcast(freq)
+    val cleanUdf = F.udf { (t: String) =>
+      val f = bc.value
+      // split/filter/join mirrors the join tier's
+      // nonEmptyLines -> array_join semantics byte-for-byte
+      t.split("\n", -1).iterator
+        .filter(l => l.nonEmpty && java.util.Arrays.binarySearch(f, lineHash(l)) < 0)
+        .mkString("\n")
+    }
+    docs.withColumn(textCol, cleanUdf(text))
   }
 
   /** Any-size tier of `dropBoilerplateLines`: position-exploded lines

@@ -44,14 +44,22 @@ object BuildCache {
   def listDataFiles(conf: Configuration, path: String): Seq[FileStatus] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
+    def bookkeeping(st: FileStatus): Boolean = {
+      val n = st.getPath.getName
+      n.startsWith("_") || n.startsWith(".")
+    }
+    // prune bookkeeping DIRECTORIES during the walk, not just leaf files:
+    // a crashed write's _temporary/ (or .hive-staging/) holds files with
+    // ordinary part-names that parquet readers ignore — counting them
+    // would inflate fingerprints and Layout.compact's byte sizing. The
+    // root itself is exempt (a caller may legitimately point at a
+    // '.'-prefixed working dir).
     def walk(st: FileStatus): Seq[FileStatus] =
-      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.filterNot(bookkeeping).flatMap(walk)
       else Seq(st)
     if (!fs.exists(p)) Seq.empty
-    else walk(fs.getFileStatus(p)).filter { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
+    else walk(fs.getFileStatus(p))
   }
 
   def listDataFiles(spark: SparkSession, path: String): Seq[FileStatus] =

@@ -63,8 +63,23 @@ object Layout {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(conf).makeQualified(hp)
     }
-    require(qualified(inPath) != qualified(outPath),
+    val qIn = qualified(inPath)
+    val qOut = qualified(outPath)
+    require(qIn != qOut,
       "compact writes to a NEW directory (atomic swap is the caller's move)")
+    // qualified-Path equality does not resolve SYMLINKS: on local file:
+    // paths a symlink-aliased outPath pointing at inPath would pass the
+    // check above and the overwrite would destroy the directory being
+    // read — additionally compare real paths (isSameFile) when both
+    // exist locally; remote schemes (hdfs/s3a) keep the qualified check.
+    if (qIn.toUri.getScheme == "file" && qOut.toUri.getScheme == "file") {
+      val fIn = java.nio.file.Paths.get(qIn.toUri.getPath)
+      val fOut = java.nio.file.Paths.get(qOut.toUri.getPath)
+      require(!(java.nio.file.Files.exists(fIn) && java.nio.file.Files.exists(fOut) &&
+          java.nio.file.Files.isSameFile(fIn, fOut)),
+        s"compact in/out resolve to the SAME directory ($fIn) through a " +
+          "symlink — refusing to overwrite the input being read")
+    }
     val before = BuildCache.listDataFiles(conf, inPath)
     require(before.nonEmpty,
       s"no data files listed under $inPath — refusing to compact " +

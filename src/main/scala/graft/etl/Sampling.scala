@@ -74,6 +74,44 @@ object Sampling {
       .drop("__scaled")
   }
 
+  /** Apply `temperatureWeights` to the corpus — the consumer that closes
+    * the XLM-R/CCNet loop: per-source keep-fractions are sized so the
+    * EXPECTED sample hits `targetRows` rows mixed ∝ weight_tau, then each
+    * row keeps or drops by a deterministic hash of its identity.
+    * frac_s = min(1, targetRows x w_s / n_docs_s) — a source whose
+    * temperature share exceeds its actual size saturates at keep-all
+    * (deterministic sampling cannot up-sample; callers wanting
+    * replication should union extra epochs of the saturated source).
+    *
+    * Scale shape: one map-side-combined aggregate over the corpus (the
+    * weights), one driver-free BROADCAST join of the per-source
+    * threshold table (dozens of rows), and a narrow filter — the corpus
+    * itself never shuffles. Thresholds are integers in [0,10000] so the
+    * keep decision is exact given the per-source fraction. */
+  def temperatureSample(df: DataFrame, sourceCol: String, sizeExpr: Column,
+                        tau: Double, targetRows: Long, seed: Long,
+                        idCols: String*): DataFrame =
+    temperatureSampleWith(df, sourceCol, sizeExpr, tau, targetRows,
+      F.pmod(F.xxhash64(F.lit(seed) +: idCols.map(F.col): _*), F.lit(10000)))
+
+  /** Core of `temperatureSample` with an explicit bucket column in
+    * [0, 10000) — injectable so the driver gate can restate the bucket as
+    * md5 (the q22 cross-engine pattern) while the engine path uses
+    * xxhash64. */
+  def temperatureSampleWith(df: DataFrame, sourceCol: String, sizeExpr: Column,
+                            tau: Double, targetRows: Long,
+                            bucket: Column): DataFrame = {
+    require(targetRows >= 0, s"targetRows must be >= 0, got $targetRows")
+    val thresholds = temperatureWeights(df, sourceCol, sizeExpr, tau)
+      .select(F.col(sourceCol),
+        F.floor(F.least(F.lit(1.0),
+          F.lit(targetRows.toDouble) * F.col("weight_tau")
+            / F.col("n_docs").cast("double")) * 10000).cast("int").as("__thr"))
+    df.join(F.broadcast(thresholds), Seq(sourceCol))
+      .filter(bucket < F.col("__thr"))
+      .drop("__thr")
+  }
+
   /** O3 per-group head: first n rows per group by ordering. */
   def groupHead(df: DataFrame, n: Int, groupCol: String, orderCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

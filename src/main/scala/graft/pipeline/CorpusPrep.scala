@@ -15,13 +15,17 @@ import graft.quality.Rules
   *   0. line cleaning         (optional: C4 terminal-punct/min-words/
   *       javascript/brace line rules + lorem-ipsum doc drop, q65 —
   *       BEFORE dedup so fingerprints see the text to be trained on)
+  *   0b. boilerplate removal  (optional: corpus-frequency line drop,
+  *       q66/q67 — broadcast tier with dedicated-exception fallback to
+  *       the any-size join tier)
   *   1. exact dedup           (keep min-id per fingerprint — q12 family)
   *   2. near-dup drop         (minhash LSH -> components -> canonical, q51)
   *   3. decontamination       (benchmark shingle broadcast, q55; auto-
   *       falls back to the any-size semi-join tier q57 when the
   *       benchmark exceeds broadcast size; optional)
   *   4. quality rules         (reference junk thresholds — q15 family;
-  *       optional dup-line repetition gate, q62's signal)
+  *       optional repetition gates: dup-line fraction + dup-line CHAR
+  *       fraction q62, top-bigram char fraction q64)
   *   4b. quality quantile band (optional: keep docs inside a per-shard
   *       quality-score quantile band — q52's sketch cutoffs + broadcast
   *       band filter, the "drop the worst decile per source" tier)
@@ -50,6 +54,9 @@ object CorpusPrep {
           maxBenchShingles: Int = 50000000,
           lineClean: Boolean = false,
           maxDupLineFrac: Option[Double] = None,
+          maxDupLineCharFrac: Option[Double] = None,
+          maxTopNgramCharFrac: Option[Double] = None,
+          boilerplateMinDocFreq: Option[Long] = None,
           report: Boolean = true): (DataFrame, Option[Report]) = {
     val text = F.col(textCol)
     def count1 = F.count(F.lit(1)).as("n")
@@ -63,18 +70,49 @@ object CorpusPrep {
       else df.filter(!graft.quality.C4Rules.dropDoc(text))
         .withColumn(textCol, graft.quality.C4Rules.cleanText(text))
         .filter(F.length(text) > 0)
+    // optional stage 0b, corpus-frequency boilerplate removal (q66/q67):
+    // lines in >= minDocFreq distinct docs are removed from every doc.
+    // Runs AFTER the per-line C4 rules (they judge a line by its shape,
+    // this by corpus frequency) and BEFORE dedup for the same reason as
+    // stage 0. Broadcast tier first (corpus never shuffles; its frequency
+    // aggregate is one extra eager scan of the cleaned input), dedicated-
+    // exception fallback to the any-size join tier — the decontaminate
+    // pattern. Docs that were pure boilerplate drop.
+    def boilerplateFree(df: DataFrame): DataFrame = boilerplateMinDocFreq match {
+      case Some(mdf) =>
+        val cleaned =
+          try Dedup.dropBoilerplateLines(df, textCol, idCol, mdf)
+          catch {
+            case _: Dedup.TooManyFrequentLinesException =>
+              Dedup.dropBoilerplateLinesJoin(df, textCol, idCol, mdf)
+          }
+        cleaned.filter(F.length(text) > 0)
+      case None => df
+    }
+    def preCleaned(df: DataFrame): DataFrame = boilerplateFree(lineCleaned(df))
     def junkFree(df: DataFrame): DataFrame = {
       val total = F.length(text).cast("double")
       def ratio(c: Column) = F.when(F.length(text) === 0, 0.0).otherwise(c / total)
       val ruleKept0 = df.filter(!Rules.isJunkCol(F.length(text),
         TextFunctions.lineCount(text), ratio(TextFunctions.letterCount(text)),
         ratio(TextFunctions.punctCount(text)), ratio(TextFunctions.digitCount(text))))
-      // optional repetition gate (q62's dup-line signal): same narrow
-      // stage as the rules, no extra scan
-      val rulesKept = maxDupLineFrac match {
+      // optional repetition gates (q62's dup-line signals + q64's top
+      // n-gram fraction): same narrow stage as the rules, no extra scan
+      val ruleKept1 = maxDupLineFrac match {
         case Some(m) =>
           ruleKept0.filter(graft.quality.Repetition.dupLineFrac(text) <= m)
         case None => ruleKept0
+      }
+      val ruleKept2 = maxDupLineCharFrac match {
+        case Some(m) =>
+          ruleKept1.filter(graft.quality.Repetition.dupLineCharFrac(text) <= m)
+        case None => ruleKept1
+      }
+      val rulesKept = maxTopNgramCharFrac match {
+        case Some(m) =>
+          ruleKept2.filter(
+            graft.plans.GraftFunctions.topNgramCharFrac(text, 2) <= m)
+        case None => ruleKept2
       }
       // optional per-shard quantile band on a per-doc metric ("drop the
       // worst decile per source"): sketch cutoffs (one tiny row per
@@ -109,7 +147,7 @@ object CorpusPrep {
       }
 
     if (!report) {
-      val d1 = Dedup.exact(lineCleaned(docs), textCol, idCol)
+      val d1 = Dedup.exact(preCleaned(docs), textCol, idCol)
       val d2 = Dedup.dropNearDups(d1, textCol, idCol,
         w = w, k = k, bands = bands, threshold = threshold)
       val d3 = benchmark match {
@@ -129,8 +167,19 @@ object CorpusPrep {
 
       // obsIn observes the RAW input (before line cleaning), so the
       // report's input count means rows read; afterExactDedup therefore
-      // reflects cleaning + dedup together when lineClean is on
-      val d1 = Dedup.exact(lineCleaned(docs.observe(obsIn, count1)), textCol, idCol)
+      // reflects cleaning + dedup together when lineClean is on.
+      // With the boilerplate stage enabled, the cleaned+observed input is
+      // checkpointed FIRST: the stage's eager frequency job would
+      // otherwise consume obsIn's one-shot Observation with empty metrics
+      // (its aggregated/limited plan loses the CollectMetrics result),
+      // and the checkpoint also keeps the C4-clean chain from being
+      // scanned twice (once by the frequency job, once by d1)
+      val pre0 = lineCleaned(docs.observe(obsIn, count1))
+      val pre =
+        if (boilerplateMinDocFreq.isDefined)
+          boilerplateFree(pre0.localCheckpoint(true))
+        else pre0
+      val d1 = Dedup.exact(pre, textCol, idCol)
         .observe(obs1, count1).localCheckpoint(true)
       val d2 = Dedup.dropNearDups(d1, textCol, idCol,
           w = w, k = k, bands = bands, threshold = threshold)

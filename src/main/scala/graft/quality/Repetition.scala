@@ -17,11 +17,11 @@ import org.apache.spark.sql.{functions => F}
   *
   * Scale shape: everything is Catalyst higher-order functions over ONE
   * in-row line array — no explode, no shuffle, no UDF; a corpus scan
-  * computes all signals in a single narrow codegen'd stage. The
-  * duplicate-char count is O(L²) in LINES PER DOCUMENT (an in-row
-  * constant, tens-to-hundreds — not corpus size), the price of staying
-  * allocation-free inside codegen; a per-row hash map would need a UDF
-  * and lose whole-stage codegen for every other column in the stage.
+  * computes all signals in a single narrow codegen'd stage. Per-row cost
+  * is O(L log L) in LINES PER DOCUMENT (the duplicate-char count sorts
+  * the line array once, then one adjacent-run pass) — bounded even for
+  * the pathological rows a web corpus actually contains (100k-line
+  * concatenated logs, minified dumps), which must not straggle a stage.
   *
   * Semantics are defined so a SQL engine reproduces them bit-exactly
   * (driver oracle): integer counts/sums, then ONE double division — see
@@ -45,13 +45,31 @@ object Repetition {
   }
 
   /** Fraction of line characters belonging to lines that occur more than
-    * once; 0.0 for line-less docs. */
+    * once; 0.0 for line-less docs.
+    *
+    * O(L log L) per row, not O(L²): the line array is sorted once (equal
+    * lines become adjacent) and one fold walks the runs, charging a
+    * line's length to the duplicate total whenever it extends a run —
+    * plus the run head's length when the run first turns out to be a
+    * run. Identical semantics to the naive per-line occurrence count
+    * (the sum ranges over the same multiset), so the q62 oracle's
+    * quadratic list-lambda restatement still matches bit-for-bit. The
+    * run state rides an in-row struct accumulator — still one narrow
+    * codegen'd stage, no UDF. The "" run sentinel is safe: `lines`
+    * filters empty lines out. */
   def dupLineCharFrac(text: Column): Column = {
     val ls = lines(text)
-    val dupChars = F.aggregate(
-      F.transform(ls, x =>
-        F.when(F.size(F.filter(ls, y => y === x)) > 1, F.length(x)).otherwise(0)),
-      F.lit(0), (acc, x) => acc + x)
+    val zero = F.struct(F.lit("").as("prev"), F.lit(0).as("plen"),
+      F.lit(false).as("pdup"), F.lit(0).as("dup"))
+    val dupChars = F.aggregate(F.array_sort(ls), zero,
+      (acc, x) => {
+        val isDup = x === acc("prev")
+        F.struct(x.as("prev"), F.length(x).as("plen"), isDup.as("pdup"),
+          (acc("dup") + F.when(isDup,
+              F.length(x) + F.when(acc("pdup"), F.lit(0)).otherwise(acc("plen")))
+            .otherwise(F.lit(0))).as("dup"))
+      },
+      acc => acc("dup"))
     val allChars = F.aggregate(F.transform(ls, x => F.length(x)), F.lit(0), (acc, x) => acc + x)
     F.when(F.size(ls) === 0, 0.0).otherwise(
       dupChars.cast("double") / allChars.cast("double"))
@@ -67,6 +85,10 @@ object Repetition {
     * can exceed 1.0 on pathological overlap ("a a a a") — it is a
     * threshold signal, not a probability. Integer count x length then
     * ONE double division, so a SQL engine reproduces it bit-exactly.
+    * Lengths count Unicode CODE POINTS (`codePointCount`), not UTF-16
+    * units — the semantics of every sibling signal (Spark `length`,
+    * DuckDB `len`), so emoji/astral-CJK text agrees with the q64 oracle
+    * too, not just BMP text.
     * Called from generated code via the scalac static forwarder. */
   def topNgramCharFrac(text: String, n: Int): Double = {
     if (text == null || text.isEmpty) return 0.0
@@ -93,10 +115,11 @@ object Repetition {
     val it = counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val cov = e.getValue()(0).toLong * e.getKey.length
+      val g = e.getKey
+      val cov = e.getValue()(0).toLong * g.codePointCount(0, g.length)
       if (cov > maxCov) maxCov = cov
     }
-    maxCov.toDouble / text.length
+    maxCov.toDouble / text.codePointCount(0, text.length)
   }
 
   /** Fraction of nonempty lines ending in "..."; 0.0 for line-less docs. */

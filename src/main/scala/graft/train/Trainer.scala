@@ -169,16 +169,25 @@ object Trainer {
     } finally { feat.unpersist(false); () }
   }
 
+  /** One distributed scoring pass with a per-probe Scorer broadcast,
+    * destroyed when the pass's action completes — M4–M6 sweep dozens of
+    * probe points, and an undestroyed per-point broadcast accumulates on
+    * the driver AND every executor for the life of the session. */
+  private def scoredF1(spark: SparkSession, df: DataFrame, labelCol: String,
+                       textCol: String, scorer: Scorer): Double = {
+    val bc = spark.sparkContext.broadcast(scorer)
+    try {
+      val predUdf = F.udf((text: String) => bc.value.predictLabel(text))
+      F1.macroF1(df.withColumn("pred", predUdf(F.col(textCol))), labelCol, "pred")
+    } finally bc.destroy()
+  }
+
   /** M4: F1 as a function of the top-n features (importance-ordered model);
     * each point is a distributed scoring pass (`analyze_model.py:42-85`). */
   def f1Curve(spark: SparkSession, df: DataFrame, labelCol: String, textCol: String,
               model: LangIdModel, steps: Seq[Int]): Seq[(Int, Double)] =
     steps.map { n =>
-      val shrunk = model.shrink(n)
-      val bc = spark.sparkContext.broadcast(new Scorer(shrunk))
-      val predUdf = F.udf((text: String) => bc.value.predictLabel(text))
-      val scored = df.withColumn("pred", predUdf(F.col(textCol)))
-      n -> F1.macroF1(scored, labelCol, "pred")
+      n -> scoredF1(spark, df, labelCol, textCol, new Scorer(model.shrink(n)))
     }
 
   /** M5: F1 after rounding weights to d decimals (`analyze_model.py:88-130`). */
@@ -186,10 +195,8 @@ object Trainer {
                     model: LangIdModel, decimals: Seq[Int]): Seq[(Int, Double, Double)] =
     decimals.map { d =>
       val rounded = model.rounded(d)
-      val bc = spark.sparkContext.broadcast(new Scorer(rounded))
-      val predUdf = F.udf((text: String) => bc.value.predictLabel(text))
-      val scored = df.withColumn("pred", predUdf(F.col(textCol)))
-      (d, F1.macroF1(scored, labelCol, "pred"), rounded.gzippedSizeKb)
+      (d, scoredF1(spark, df, labelCol, textCol, new Scorer(rounded)),
+        rounded.gzippedSizeKb)
     }
 
   /** M6: drop features until F1 falls by delta (`analyze_model.py:138-196`),

@@ -167,6 +167,35 @@ class DedupSpec extends AnyFunSuite {
       "every chain node must reach label 0")
   }
 
+  test("components reliable=true: identical labels via fault-tolerant checkpoints") {
+    import spark.implicits._
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++
+      (100L until 112L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    // no checkpoint dir configured -> loud failure, not a silent fallback
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty)
+    intercept[IllegalArgumentException] {
+      Dedup.components(pairs, reliable = true)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      sc.setCheckpointDir(dir)
+      val viaReliable = Dedup.components(pairs, reliable = true).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val viaLocal = Dedup.components(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(viaReliable == viaLocal, "checkpoint mode must not change labels")
+      // and the rounds actually wrote through the reliable dir
+      assert(graft.etl.BuildCache.listDataFiles(spark, dir).nonEmpty,
+        "reliable mode must materialize RDD checkpoints in the configured dir")
+    } finally {
+      // a SparkContext has no unsetCheckpointDir; point it at a throwaway
+      // so later suites aren't affected, then clean up
+      sc.setCheckpointDir(java.nio.file.Files.createTempDirectory("graft-ckpt2").toString)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("decontaminate scales to a multi-million-shingle benchmark (primitive broadcast)") {
     import spark.implicits._
     // benchmark: 200 docs x ~5000 words -> ~1M distinct 8-gram shingles,
@@ -273,6 +302,26 @@ class DedupSpec extends AnyFunSuite {
     assert(!plain.isInstanceOf[Dedup.BenchmarkTooLargeException])
   }
 
+  test("jaccard merge-count kernel: parity with boxed-set math, no input mutation") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 500) {
+      // small value range -> dense duplicates and overlaps
+      val a = Array.fill(rnd.nextInt(40))(rnd.nextInt(20).toLong)
+      val b = Array.fill(rnd.nextInt(40))(rnd.nextInt(20).toLong)
+      val sa = a.toSet
+      val sb = b.toSet
+      val un = (sa ++ sb).size
+      val setJ = if (un == 0) 1.0 else sa.intersect(sb).size.toDouble / un
+      assert(Dedup.jaccardOfHashes(a, b) == setJ)
+      assert(Dedup.jaccardOfSortedDistinct(
+        Dedup.sortedDistinct(a), Dedup.sortedDistinct(b)) == setJ)
+    }
+    val orig = Array(5L, 3L, 5L, 1L)
+    val copy = orig.clone()
+    assert(Dedup.sortedDistinct(orig).sameElements(Array(1L, 3L, 5L)))
+    assert(orig.sameElements(copy), "sortedDistinct must not mutate its input")
+  }
+
   test("boilerplate-line removal: both tiers agree, guard trips, order survives") {
     import spark.implicits._
     // 20 docs of 3 unique lines each; 12 carry a shared footer and 8 a
@@ -301,25 +350,39 @@ class DedupSpec extends AnyFunSuite {
       Dedup.dropBoilerplateLines(degenerate, "text", "id", minDocFreq = 5,
         maxFrequentLines = 2)
     }
-    // broadcast-tier plan (AQE off so the physical plan is concrete):
-    // the CORPUS side reaches the output without an exchange — the only
-    // shuffles are on the frequent-set subtree (line-frequency groupBy,
-    // then the single-row collect_list), and the join is a broadcast
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val plan = Dedup.dropBoilerplateLines(docs, "text", "id", minDocFreq = 5)
-        .queryExecution.executedPlan
-      val exchanges = plan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-      }
-      assert(exchanges.length <= 2,
-        s"only the frequent-set aggregations may shuffle, saw ${exchanges.length}")
-      val bcasts = plan.collect {
-        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
-      }
-      assert(bcasts.nonEmpty, "the frequent set must return as a broadcast")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // broadcast-tier plan: the frequent-hash set is collected eagerly
+    // (its one groupBy shuffle runs at call time, over 8-byte keys) and
+    // ships as a broadcast VARIABLE, so the returned rewrite plan is a
+    // pure narrow map over the corpus — ZERO exchanges of any kind
+    val plan = Dedup.dropBoilerplateLines(docs, "text", "id", minDocFreq = 5)
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isEmpty, s"the rewrite must be exchange-free, got:\n$plan")
+  }
+
+  test("boilerplate broadcast probe is sublinear: large frequent set, exact result") {
+    import spark.implicits._
+    // 2,000 distinct frequent lines (each in 6 docs) — the old
+    // array_contains probe pays 2,000 string compares per line; the
+    // binary-search probe pays 11. Result must still byte-match the
+    // join tier.
+    val frequent = (0 until 2000).map(i => s"boilerplate nav item $i")
+    val docs = (0 until 120).map { d =>
+      val body = s"real content of doc $d"
+      // each doc carries one contiguous 100-line block; 20 distinct block
+      // starts x 6 docs each -> every frequent line is in exactly 6 docs
+      val noise = (0 until 100).map(k => frequent((d * 100 + k) % 2000))
+      (d.toLong, (noise.take(50) ++ Seq(body) ++ noise.drop(50)).mkString("\n"))
+    }.toDF("id", "text")
+    def strip(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.collect().map(r => r.getLong(r.fieldIndex("id")) ->
+        r.getString(r.fieldIndex("text"))).toMap
+    val viaBroadcast = strip(Dedup.dropBoilerplateLines(docs, "text", "id", minDocFreq = 6))
+    val viaJoin = strip(Dedup.dropBoilerplateLinesJoin(docs, "text", "id", minDocFreq = 6))
+    assert(viaBroadcast == viaJoin)
+    assert(viaBroadcast(0L) == "real content of doc 0",
+      s"all 100 frequent lines removed: ${viaBroadcast(0L)}")
   }
 
   test("decontaminateJoin is result-identical to the broadcast path (any-size tier)") {

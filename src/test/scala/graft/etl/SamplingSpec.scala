@@ -81,4 +81,36 @@ class SamplingSpec extends AnyFunSuite {
     val w0 = weights(0.0)
     assert(math.abs(w0("big")._2 - 1.0 / 3) < 1e-12)
   }
+
+  test("temperatureSample: mix shifts with tau, saturation keeps all, plan is narrow") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    // sources sized 9000 / 900 / 100 docs, 1 token per doc
+    val docs = ((1 to 9000).map(i => (i.toLong, "big")) ++
+      (1 to 900).map(i => (10000L + i, "mid")) ++
+      (1 to 100).map(i => (20000L + i, "sml"))).toDF("id", "source")
+    def mix(tau: Double): Map[String, Long] =
+      Sampling.temperatureSample(docs, "source", F.lit(1), tau,
+          targetRows = 999, seed = 7, "id")
+        .groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tau=1: proportional — expected 900 / 90 / 10 (hash-sample jitter)
+    val m1 = mix(1.0)
+    assert(math.abs(m1("big") - 900L) < 120 && math.abs(m1("mid") - 90L) < 40, s"$m1")
+    // tau=0: uniform thirds — sml's 333-row allocation EXCEEDS its 100
+    // docs, so it saturates at keep-everything, exactly
+    val m0 = mix(0.0)
+    assert(m0("sml") == 100L, s"saturated source must keep all rows: $m0")
+    assert(math.abs(m0("mid") - 333L) < 70, s"$m0")
+    assert(m0("big") < m1("big") && m0("mid") > m1("mid"),
+      s"tau=0 must shift mass from big to small: $m1 -> $m0")
+    // determinism: same inputs, same rows
+    assert(mix(0.5) == mix(0.5))
+    // scale shape: the corpus side must not shuffle — only the weights
+    // aggregate exchanges; the threshold table joins in as a broadcast
+    val plan = Sampling.temperatureSample(docs, "source", F.lit(1), 0.5,
+      targetRows = 999, seed = 7, "id").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") && plan.contains("BroadcastHashJoin"),
+      s"threshold table must broadcast:\n$plan")
+  }
 }

@@ -81,6 +81,52 @@ class CorpusPrepSpec extends AnyFunSuite {
       "the javascript line is edited OUT, doc kept")
   }
 
+  test("round-6 stages: boilerplate removal + char-frac + top-ngram gates") {
+    import spark.implicits._
+    val base = (0 until 30).map(doc)
+    // a shared footer on 10 docs (>= minDocFreq 5): stripped from all
+    val footer = "shared footer line."
+    val withFooter = base.map { case (s, id, t) =>
+      if (id < 10) (s, id, t + "\n" + footer) else (s, id, t)
+    }
+    // footer-only doc: everything is boilerplate -> empty -> dropped at 0b
+    val footerOnly = ("s0", 300L, footer)
+    // dup-line CHAR fraction casualty: 3 copies of a long line + 1 unique
+    // word -> dup_line_char_frac ~0.97 (and dup_line_frac 0.5 — the char
+    // signal catches what the line-count signal under-weights)
+    val longLine = (0 until 12).map(j => word(707000L + j)).mkString(" ")
+    val charFracDoc = ("s1", 301L,
+      Seq(longLine, longLine, longLine, word(707100L)).mkString("\n"))
+    // top-bigram casualty: two words alternating -> one bigram covers ~all
+    val w1 = word(808000L)
+    val w2 = word(808001L)
+    val ngramDoc = ("s0", 302L, Seq.fill(20)(s"$w1 $w2").mkString(" "))
+    val docs = (withFooter :+ footerOnly :+ charFracDoc :+ ngramDoc)
+      .toDF("shard", "id", "text")
+
+    // lineClean=true TOGETHER with the boilerplate stage: the eager
+    // frequency job must not consume the report's input Observation
+    // (regression: it returned empty metrics -> input=0 when the C4
+    // chain sat between observe and the frequency aggregate); every
+    // planted line here passes the C4 rules so the expected counts are
+    // unchanged by cleaning
+    val (packed, Some(rep)) = CorpusPrep.run(docs, "text", "id", "shard",
+      tokenBudget = 100L, threshold = 0.5,
+      lineClean = true,
+      boilerplateMinDocFreq = Some(5L),
+      maxDupLineCharFrac = Some(0.5),
+      maxTopNgramCharFrac = Some(0.5))
+    assert(rep.input == 33)
+    assert(rep.afterExactDedup == 32, "footer-only doc empties at stage 0b")
+    assert(rep.afterQuality == 30, "char-frac + top-ngram casualties drop")
+    val rows = packed.collect()
+    val ids = rows.map(r => r.getLong(r.fieldIndex("id"))).toSet
+    assert(!ids(300L) && !ids(301L) && !ids(302L))
+    assert(ids(0L) && ids(5L) && ids(29L), "footer carriers survive, stripped")
+    assert(rows.forall(r => !r.getString(r.fieldIndex("text")).contains(footer)),
+      "the corpus-frequent footer must be stripped from every survivor")
+  }
+
   test("the report is free: stage counts ride the checkpoint jobs, zero extra jobs") {
     import spark.implicits._
     val base = (0 until 30).map(doc)

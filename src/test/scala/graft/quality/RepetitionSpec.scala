@@ -80,6 +80,57 @@ class RepetitionSpec extends AnyFunSuite {
     }
   }
 
+  test("dupLineCharFrac matches a naive multiset recount on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def naive(text: String): Double = {
+      val ls = text.split("\n", -1).filter(_.nonEmpty)
+      if (ls.isEmpty) 0.0
+      else {
+        val counts = ls.groupBy(identity).map { case (k, v) => k -> v.length }
+        val dup = ls.filter(counts(_) > 1).map(_.length).sum
+        dup.toDouble / ls.map(_.length).sum
+      }
+    }
+    val docs = (1 to 200).map { i =>
+      val n = rnd.nextInt(30)
+      // small line vocab -> dense duplication; variable line lengths
+      (i.toLong, Seq.fill(n)("ln" + ("x" * rnd.nextInt(5)) + rnd.nextInt(6)).mkString("\n"))
+    }
+    val got = docs.toDF("id", "text")
+      .select(F.col("id"), Repetition.dupLineCharFrac(F.col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) == naive(text), s"disagree on doc $id:\n$text")
+    }
+  }
+
+  test("dupLineCharFrac is O(L log L): a 100k-line doc completes, exactly") {
+    import spark.implicits._
+    // 50k distinct lines interleaved with 50k copies of one line — the
+    // pathological scraped-log shape; the old per-line occurrence count
+    // was O(L^2) (~10^10 comparisons) and could never finish this
+    val lines = (0 until 100000).map(i =>
+      if (i % 2 == 0) "repeated boilerplate line" else s"unique line $i")
+    val text = lines.mkString("\n")
+    val dup = 50000L * "repeated boilerplate line".length
+    val all = lines.map(_.length.toLong).sum
+    val got = Seq(Tuple1(text)).toDF("text")
+      .select(Repetition.dupLineCharFrac(F.col("text"))).head().getDouble(0)
+    assert(got == dup.toDouble / all)
+  }
+
+  test("top n-gram char fraction counts code points, not UTF-16 units") {
+    // each word is U+1F600 (astral, 2 UTF-16 units) + 'a' = 2 code points;
+    // bigram "😀a 😀a" occurs twice -> coverage 2 x 5 = 10 code points of
+    // a text 8 code points long (the signal may exceed 1.0 — overlap)
+    val w = new String(Character.toChars(0x1F600)) + "a"
+    val text = s"$w $w $w"
+    assert(Repetition.topNgramCharFrac(text, 2) == 10.0 / 8)
+    // and stays identical to UTF-16 math on BMP-only text
+    assert(Repetition.topNgramCharFrac("a b a b a b", 2) == 9.0 / 11)
+  }
+
   test("all four signals compute in one narrow stage: no shuffle, no UDF") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, f"line a\nline b\nline a\ndoc $i%03d"))
