@@ -548,6 +548,82 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // the SAME decontamination semantics through the BLOOM-PREFILTERED
+    // tier (distributed bloom build -> narrow prefilter -> exact confirm
+    // semi-join over only the possible hits): one oracle, THREE execution
+    // paths (q55 broadcast / q57 semi-join / q71 bloom) — the bloom only
+    // prefilters, the exact join confirms, so false positives cost
+    // shuffle bytes, never rows
+    "q71_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def words(c: Column) =
+        filter(split(lower(c), "\\s+"), w => w =!= lit(""))
+      val bench = docs
+        .filter(col("doc_id") % 37 === 0 && size(words(col("text"))) >= 21)
+        .select(concat_ws(" ", slice(words(col("text")), 6, 16)).as("btext"))
+      graft.dedup.Dedup.decontaminateBloom(docs, "text", "doc_id", bench, "btext", w = 8)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
+    // corpus-wide KEEP-FIRST exact line dedup (Lee et al. exact-substring
+    // dedup at line granularity): a line planted into every 3rd doc
+    // survives only in its globally-first occurrence (doc 0); later
+    // occurrences — and any coincidental duplicate text lines in the
+    // corpus — are removed. md5 of the rebuilt text gates byte parity.
+    "q72_dedup_lines" -> ((s, dir) => {
+      val planted = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit("\nEvery third doc repeats this exact line.")))
+        .otherwise(col("text"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), planted.as("text"))
+      graft.dedup.Dedup.dedupLinesKeepFirst(docs, "text", "doc_id")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_clean"),
+          md5(col("text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // SemDeDup (embedding-cluster semantic dedup): deterministic seed-row
+    // centroids (the q38 md5-ordered sample, so DuckDB can recompute
+    // assignment exactly), within-cluster cosine >= 0.2 drops the
+    // higher-id member; survivors under the gate. maxCluster never binds
+    // at test scale (<= 5k embeddings vs the 100k default) so the oracle
+    // omits the cap replication q42 needed for its 16-bucket setting.
+    "q73_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(8)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val index = graft.sim.Ann.IvfIndex(centroids)
+      graft.sim.Ann.semDedup(emb, "embedding", "vec_id", index, threshold = 0.2)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    }),
+
+    // INCREMENTAL ingest dedup: a synthetic "daily batch" (near-dup
+    // mutations of every 7th corpus doc, exact copies of every 11th≡3,
+    // word-reversed — mostly novel — rewrites of every 13th≡5) deduped
+    // against the standing corpus; surviving batch ids under the gate.
+    // Oracle = exact all-CROSS-pairs Jaccard truth (the q19 pattern).
+    "q74_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      def words(c: Column) =
+        filter(split(lower(c), "\\s+"), w => w =!= lit(""))
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" mutated")).as("text"), col("lang"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 3)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text"), col("lang")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 5)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            concat_ws(" ", reverse(words(col("text")))).as("text"), col("lang")))
+      graft.dedup.Dedup.dedupAgainstCorpus(batch, docs, "text", "doc_id",
+          w = 3, k = 32, bands = 16, threshold = 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup pairs on planted dups (no SQL oracle)
     "q20_simhash_dups" -> ((s, dir) =>
       graft.dedup.Dedup.simhashDupPairs(docsWithPlantedDups(s, dir), "text", "doc_id",
@@ -1807,6 +1883,130 @@ object SparkEntry {
           |FROM sh, (SELECT list(g) AS bl FROM bg) b
           |WHERE len(list_intersect(s, b.bl)) = 0
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // identical semantics to q55 through the bloom-prefiltered tier:
+      // same oracle, third execution path (bloom = prefilter only; the
+      // exact confirm join decides membership)
+      "q71_decontaminate_bloom" ->
+        """WITH d AS (
+          |  SELECT doc_id, lang,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, lang,
+          |    (CASE WHEN len(ws) >= 8 THEN
+          |      list_distinct(list_transform(generate_series(1, len(ws) - 7),
+          |        i -> array_to_string(ws[i:i+7], ' ')))
+          |     WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
+          |     ELSE [] END) AS s
+          |  FROM d),
+          |bench AS (SELECT ws[6:21] AS bw FROM d WHERE doc_id % 37 = 0 AND len(ws) >= 21),
+          |bg AS (SELECT DISTINCT g FROM (
+          |  SELECT unnest(list_transform(generate_series(1, len(bw) - 7),
+          |    i -> array_to_string(bw[i:i+7], ' '))) AS g FROM bench))
+          |SELECT lang, count(*) AS n
+          |FROM sh, (SELECT list(g) AS bl FROM bg) b
+          |WHERE len(list_intersect(s, b.bl)) = 0
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // keep-first line dedup: position-aware explode (zipped unnests),
+      // one window keeps the global first occurrence of every line,
+      // docs rebuilt in line order (empty rebuilds coalesce to '')
+      "q72_dedup_lines" ->
+        """WITH p AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 3 = 0
+          |      THEN text || chr(10) || 'Every third doc repeats this exact line.'
+          |      ELSE text END AS t2
+          |  FROM documents),
+          |l AS (SELECT doc_id,
+          |        list_filter(string_split(t2, chr(10)), x -> len(x) > 0) AS ls
+          |      FROM p),
+          |e AS (SELECT doc_id,
+          |        unnest(generate_series(1, len(ls))) AS pos,
+          |        unnest(ls) AS line
+          |      FROM l),
+          |k AS (SELECT doc_id, pos, line,
+          |        row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+          |      FROM e),
+          |r AS (SELECT doc_id,
+          |        array_to_string(list(line ORDER BY pos), chr(10)) AS clean
+          |      FROM k WHERE rn = 1 GROUP BY doc_id)
+          |SELECT p.doc_id,
+          |  CAST(len(coalesce(clean, '')) AS BIGINT) AS n_chars_clean,
+          |  md5(coalesce(clean, '')) AS clean_md5
+          |FROM p LEFT JOIN r ON p.doc_id = r.doc_id
+          |ORDER BY p.doc_id""".stripMargin,
+      // SemDeDup: q38's deterministic centroid + assignment CTEs (same
+      // squared-L2 expression, list_position first-min tie-break =
+      // nearestCentroids' stable sort), q42's exact cosine expression
+      // shape for the within-cluster drop decision
+      "q73_semdedup" ->
+        """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |cid AS (SELECT vec_id FROM embeddings
+          |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+          |cent AS (SELECT list(v ORDER BY vec_id) AS cs FROM e
+          |         WHERE vec_id IN (SELECT vec_id FROM cid)),
+          |assign AS (SELECT vec_id, label, v, list_position(ds, list_min(ds)) AS cl FROM (
+          |  SELECT vec_id, label, v,
+          |    list_transform((SELECT cs FROM cent), c ->
+          |      list_sum(list_transform(generate_series(1, 64), i -> (v[i]-c[i])*(v[i]-c[i])))) AS ds
+          |  FROM e)),
+          |dropped AS (
+          |  SELECT DISTINCT b.vec_id
+          |  FROM assign a JOIN assign b ON a.cl = b.cl AND a.vec_id < b.vec_id
+          |  WHERE (CASE WHEN list_inner_product(a.v, a.v) = 0.0
+          |                OR list_inner_product(b.v, b.v) = 0.0 THEN -1.0
+          |         ELSE list_inner_product(a.v, b.v) /
+          |              (sqrt(list_inner_product(a.v, a.v)) *
+          |               sqrt(list_inner_product(b.v, b.v))) END) >= 0.2)
+          |SELECT vec_id, label FROM e
+          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+          |ORDER BY vec_id""".stripMargin,
+      // incremental dedup: exact all-CROSS-pairs word-3-shingle Jaccard
+      // truth between the synthetic batch and the corpus (the q19 CTEs,
+      // keyed batch x corpus instead of self-paired); survivors are batch
+      // rows with no corpus partner at >= 0.5 (exact copies land at 1.0)
+      "q74_incremental_dedup" ->
+        """WITH batch AS (
+          |  SELECT doc_id + 1000000 AS doc_id, text || ' mutated' AS text, lang
+          |  FROM documents WHERE doc_id % 7 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 2000000 AS doc_id, text, lang
+          |  FROM documents WHERE doc_id % 11 = 3
+          |  UNION ALL
+          |  SELECT doc_id + 3000000 AS doc_id,
+          |    array_to_string(list_reverse(
+          |      list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')), ' ') AS text,
+          |    lang
+          |  FROM documents WHERE doc_id % 13 = 5),
+          |shb AS (
+          |  SELECT doc_id, lang,
+          |    (CASE WHEN len(ws) >= 3 THEN
+          |      list_distinct(list_transform(generate_series(1, len(ws) - 2),
+          |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+          |     WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
+          |     ELSE [] END) AS s
+          |  FROM (SELECT doc_id, lang,
+          |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+          |        FROM batch)),
+          |shc AS (
+          |  SELECT doc_id,
+          |    (CASE WHEN len(ws) >= 3 THEN
+          |      list_distinct(list_transform(generate_series(1, len(ws) - 2),
+          |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+          |     WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
+          |     ELSE [] END) AS s
+          |  FROM (SELECT doc_id,
+          |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+          |        FROM documents)),
+          |dropped AS (
+          |  SELECT DISTINCT b.doc_id
+          |  FROM shb b JOIN shc c ON
+          |    (CASE WHEN len(b.s) = 0 AND len(c.s) = 0 THEN 1.0
+          |     ELSE len(list_intersect(b.s, c.s)) * 1.0 /
+          |          (len(b.s) + len(c.s) - len(list_intersect(b.s, c.s))) END) >= 0.5)
+          |SELECT doc_id, lang FROM batch
+          |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+          |ORDER BY doc_id""".stripMargin,
       // co-located bucketed join must equal the plain shuffled join
       "q48_bucketed_join" ->
         """SELECT c_nationkey, count(*) AS n,
@@ -1834,6 +2034,10 @@ object SparkEntry {
     "q40_ngram_langid" -> "sf0.01",
     // nBits=4 keeps the DuckDB self-join tractable at sf0.01 only
     "q42_cosine_dups" -> "sf0.01",
+    // exact cross-pairs Jaccard truth — assumes the cross-frame banding
+    // achieves 100% recall on THIS corpus (the q19 stance; verified at
+    // sf0.01: every >= 0.5 batch-corpus pair is a band candidate)
+    "q74_incremental_dedup" -> "sf0.01",
   )
 
   /** SQL restatement of ReferenceFeatures.fullModel scoring. Exact because

@@ -632,4 +632,171 @@ object Dedup {
       .distinct()
       .filter(F.col("hamming") <= maxHamming)
   }
+
+  /** Benchmark decontamination via a BLOOM-PREFILTERED exact semi-join —
+    * the middle tier between `decontaminate` (zero-shuffle, but the whole
+    * 8-byte-per-shingle sorted array must broadcast) and
+    * `decontaminateJoin` (any size, but the ENTIRE corpus's shingle
+    * hashes shuffle into the join).
+    *
+    * Shape: the benchmark's distinct shingle hashes build a distributed
+    * `BloomFilter` (`df.stat.bloomFilter` — partial sketches merged on
+    * the driver; ~1.2 BYTES/shingle at fpp=0.01 vs the sorted array's 8,
+    * so the broadcastable benchmark size rises ~6.7×). The corpus is then
+    * prefiltered NARROWLY: a per-row pass keeps only the shingles the
+    * bloom might contain, and docs with zero possible hits — the
+    * overwhelming majority of a web corpus against any benchmark — never
+    * reach a shuffle at all. Only the surviving (id, hit-shingle) rows
+    * (true hits + the fpp share of false positives) meet the benchmark in
+    * the exact semi-join, so the q57-tier shuffle shrinks by roughly the
+    * uncontaminated fraction (~50× at 1% contamination + 1% fpp).
+    *
+    * The bloom only PREFILTERS — membership is confirmed by the exact
+    * join, so false positives cost shuffle bytes, never correctness:
+    * result-identical to `decontaminate`/`decontaminateJoin` on any input
+    * (DedupSpec asserts all three agree; q71 gates this tier on q55's
+    * oracle).
+    *
+    * `expectedShingles` sizes the filter; pass a corpus-level estimate at
+    * scale (0 = count the benchmark side first — one cheap extra job, the
+    * bench side is the small one by assumption). The benchmark shingle
+    * frame is persisted (it is read twice: bloom build + confirm join);
+    * eviction costs recompute, never correctness. */
+  def decontaminateBloom(corpus: DataFrame, textCol: String, idCol: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         w: Int = 8, fpp: Double = 0.01,
+                         expectedShingles: Long = 0L): DataFrame = {
+    require(w >= 1, s"shingle width w must be >= 1, got $w")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    val bg = benchmark
+      .select(F.explode(shinglesUdf(F.col(benchTextCol), F.lit(w))).as("g"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val expected = if (expectedShingles > 0L) expectedShingles else bg.count()
+    val bloom = bg.stat.bloomFilter("g", math.max(expected, 1L), fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val hitsUdf = F.udf { (text: String) =>
+      // sorted-distinct: each possibly-contaminating shingle joins once
+      sortedDistinct(shingleHashes(text, w).filter(h => bc.value.mightContainLong(h)))
+    }
+    val cand = corpus
+      .select(F.col(idCol), hitsUdf(F.col(textCol)).as("__hits"))
+      .filter(F.size(F.col("__hits")) > 0)
+    val contaminated = cand
+      .select(F.col(idCol), F.explode(F.col("__hits")).as("g"))
+      .join(bg, Seq("g"), "left_semi")
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** CORPUS-WIDE exact line dedup, KEEP-FIRST (the line-granularity form
+    * of Lee et al. 2022's "Deduplicating Training Data Makes Language
+    * Models Better" exact-substring dedup, and C4's repeated-span rule):
+    * every occurrence of a line AFTER its first — ordered by (`idCol`,
+    * line position) — is removed; the first occurrence survives. The
+    * corpus-frequency complement to `dropBoilerplateLines` (which removes
+    * frequent lines from EVERY doc, including the first).
+    *
+    * Shape: posexplode nonempty lines → ONE window over the line value
+    * (row_number keeps the global first occurrence; partitioning by the
+    * exact string keeps the gate byte-exact — a 64-bit line-hash key
+    * would save key-compare bytes at a ~n²/2⁶⁴ false-merge risk, the
+    * documented `dropBoilerplateLines` stance) → docs rebuilt in line
+    * order. Two shuffles of line-sized rows, the corpus never collected;
+    * per-line state is one row_number counter, so a line repeated 10⁹
+    * times costs its partition size, not memory. Output: input columns
+    * with `textCol` rewritten (docs whose every line was seen before
+    * become empty — filter downstream if empties should drop). */
+  def dedupLinesKeepFirst(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val text = F.col(textCol)
+    val exploded = docs.select(F.col(idCol),
+      F.posexplode(nonEmptyLines(text)).as(Seq("__pos", "__line")))
+    val wL = Window.partitionBy("__line").orderBy(F.col(idCol), F.col("__pos"))
+    val kept = exploded
+      .withColumn("__rn", F.row_number().over(wL))
+      .filter(F.col("__rn") === 1)
+      .groupBy(idCol)
+      .agg(F.array_join(
+        F.transform(F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+          s => s("__line")), "\n").as("__clean"))
+    docs.drop(textCol)
+      .join(kept, Seq(idCol), "left")
+      .withColumn(textCol, F.coalesce(F.col("__clean"), F.lit("")))
+      .drop("__clean")
+  }
+
+  /** INCREMENTAL ingest dedup: drop the rows of `batch` that duplicate
+    * the EXISTING `corpus` — exact (identical text fingerprint) or near
+    * (word-`w`-shingle Jaccard >= `threshold` against ANY corpus doc,
+    * candidates via cross-frame minhash banding). Returns the surviving
+    * batch rows with their original columns. The continuous-ingestion
+    * complement to `dropNearDups` (which dedups a corpus against itself):
+    * a crawl refresh or daily dump is deduped against the standing corpus
+    * WITHOUT re-pairing the corpus against itself.
+    *
+    * Scale shape: the corpus side is touched by exactly two
+    * streaming-friendly passes — a fingerprint projection (8 B/row) and a
+    * banded minhash projection (24 B/row/band) — never re-paired with
+    * itself (no corpus×corpus candidates are generated; the band join
+    * keys batch buckets against corpus buckets only). Candidate
+    * (batch_id, corpus_id) pairs attach shingle arrays by id-join and
+    * verify with the exact merge-count Jaccard kernel. Hot buckets are
+    * capped per side with observe metrics (`inc_dedup_caps`). An
+    * exact-identical batch row always collides with its corpus twin in
+    * every band (identical text ⇒ identical signature), so the semantics
+    * need no separate exact tier; the fingerprint anti-join still runs
+    * FIRST because it removes the (typically dominant) exact-dup mass
+    * before the shingle/banding work is spent on it. */
+  def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame,
+                         textCol: String, idCol: String,
+                         w: Int = 3, k: Int = 32, bands: Int = 16,
+                         threshold: Double = 0.5,
+                         maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val fp = graft.functions.TextFunctions.fingerprint(F.col(textCol))
+    val corpusFp = corpus.select(fp.as("__fp")).distinct()
+    val exactSurvivors = batch.withColumn("__fp", fp)
+      .join(corpusFp, Seq("__fp"), "left_anti").drop("__fp")
+
+    def shingled(df: DataFrame, outId: String) =
+      df.select(F.col(idCol).as(outId),
+        shinglesUdf(F.col(textCol), F.lit(w)).as(s"__sh_$outId"))
+    def banded(sh: DataFrame, id: String, metric: String) = {
+      val rowsPerBand = k / bands
+      val b = sh
+        .withColumn("__mh", minhashOfShinglesUdf(F.col(s"__sh_$id"), F.lit(k)))
+        .select(F.col(id),
+          F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), bi =>
+              F.xxhash64(F.slice(F.col("__mh"), bi * rowsPerBand + 1, F.lit(rowsPerBand))))
+          ).as(Seq("band", "bucket")))
+      val wB = Window.partitionBy("band", "bucket").orderBy(F.col(id))
+      b.withColumn("__bn", F.row_number().over(wB))
+        .observe(metric, F.sum((F.col("__bn") > maxBucket).cast("long")).as("capped_rows"))
+        .filter(F.col("__bn") <= maxBucket)
+        .select(id, "band", "bucket")
+    }
+    // own the shingle caches' lifecycle (the dropNearDups pattern): the
+    // dropped-id list is eagerly materialized (localCheckpoint — it is
+    // id-sized, at most the batch's near-dup fraction), after which the
+    // cached shingle projections are dead weight and are unpersisted here
+    val shB = shingled(exactSurvivors, "__bid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shC = shingled(corpus, "__cid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val candidates = banded(shB, "__bid", "inc_dedup_caps_batch")
+        .join(banded(shC, "__cid", "inc_dedup_caps_corpus"), Seq("band", "bucket"))
+        .select("__bid", "__cid").distinct()
+      val dropped = candidates
+        .join(shB, "__bid").join(shC, "__cid")
+        .filter(jaccardHashesUdf(F.col("__sh___bid"), F.col("__sh___cid")) >= threshold)
+        .select(F.col("__bid").as(idCol)).distinct()
+        .localCheckpoint()
+      exactSurvivors.join(dropped, Seq(idCol), "left_anti")
+    } finally {
+      shB.unpersist(blocking = false)
+      shC.unpersist(blocking = false)
+    }
+  }
 }

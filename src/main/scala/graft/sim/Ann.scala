@@ -300,4 +300,59 @@ object Ann {
           .otherwise(dot / (F.col("nrm_a") * F.col("nrm_b"))).as("cosine"))
       .filter(F.col("cosine") >= threshold)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup over
+    * an embedding column — cluster the space, then treat within-cluster
+    * pairs above a cosine threshold as semantic duplicates and keep one
+    * representative. Catches paraphrases and re-renderings that shingle
+    * Jaccard (minhash/simhash) structurally cannot see.
+    *
+    * Shape: centroids come in as a (small, broadcastable) `IvfIndex` —
+    * train with `ivfFit` (distributed KMeans) or pass deterministic
+    * seed-row centroids; assignment is ONE narrow map (`ivfAssign`, no
+    * shuffle). The only exchange is cluster-keyed: rows self-join within
+    * their cluster, so the candidate count is Σ|cluster|², never n² —
+    * the clustering plays the role LSH banding plays in
+    * `cosineDupPairs`, with the same hot-partition defense (clusters
+    * capped at `maxCluster` rows, dropped count published via the
+    * `semdedup_caps` observe metric; at 10⁹+ rows raise k so clusters
+    * stay ~10⁴). Norms are per-row quantities computed once before the
+    * pair join; verify math all in double (the cosineDupPairs contract).
+    *
+    * Keep policy: a row is dropped iff some LOWER-id row in the same
+    * cluster sits within the threshold — deterministic, order-free, and
+    * exactly restatable in SQL (q73 gates assignment + pair + drop
+    * end-to-end). Cross-cluster near-pairs are invisible by design —
+    * that is SemDeDup's documented recall trade (raise nProbe-style
+    * recall by lowering k or running `cosineDupPairs` for an
+    * LSH-amplified sweep instead). Returns the surviving rows of `df`
+    * with original columns. */
+  def semDedup(df: DataFrame, embCol: String, idCol: String,
+               index: IvfIndex, threshold: Double,
+               maxCluster: Int = 100000): DataFrame = {
+    val assigned = ivfAssign(df.select(F.col(idCol), F.col(embCol)), embCol, index)
+    val wC = Window.partitionBy("ivf_cluster").orderBy(F.col(idCol))
+    val capped = assigned.withColumn("__cn", F.row_number().over(wC))
+      .observe("semdedup_caps",
+        F.sum((F.col("__cn") > maxCluster).cast("long")).as("capped_rows"))
+      .filter(F.col("__cn") <= maxCluster).drop("__cn")
+    def asD(c: Column) = F.transform(c, x => x.cast("double"))
+    def norm(c: Column) =
+      F.sqrt(F.aggregate(F.transform(asD(c), x => x * x), F.lit(0.0), (acc, x) => acc + x))
+    val withNorm = capped.withColumn("__nrm", norm(F.col(embCol)))
+    val a = withNorm.select(F.col("ivf_cluster"), F.col(idCol).as("id_a"),
+      F.col(embCol).as("emb_a"), F.col("__nrm").as("nrm_a"))
+    val b = withNorm.select(F.col("ivf_cluster"), F.col(idCol).as("id_b"),
+      F.col(embCol).as("emb_b"), F.col("__nrm").as("nrm_b"))
+    val dot = F.aggregate(
+      F.zip_with(asD(F.col("emb_a")), asD(F.col("emb_b")), (x, y) => x * y),
+      F.lit(0.0), (acc, x) => acc + x)
+    val cosine = F.when(F.col("nrm_a") === 0.0 || F.col("nrm_b") === 0.0, F.lit(-1.0))
+      .otherwise(dot / (F.col("nrm_a") * F.col("nrm_b")))
+    val dropped = a.join(b, Seq("ivf_cluster"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .filter(cosine >= threshold)
+      .select(F.col("id_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
 }

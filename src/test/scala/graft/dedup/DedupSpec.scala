@@ -416,4 +416,52 @@ class DedupSpec extends AnyFunSuite {
       s"cached run must read each text once, read $withCache for ${base.size} rows")
     assert(without > withCache, s"uncached run re-reads text ($without reads)")
   }
+
+  test("decontaminateBloom: identical to both exact tiers even at fpp=0.5 (prefilter never decides)") {
+    import spark.implicits._
+    val corpus = base.toDF("id", "text")
+    // benchmark = a 10-word window of doc 3 -> exactly doc 3 shares an 8-gram
+    val bench = Seq(base(3)._2.split(" ").slice(2, 12).mkString(" ")).toDF("btext")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Dedup.decontaminate(corpus, "text", "id", bench, "btext", w = 8))
+    val join = ids(Dedup.decontaminateJoin(corpus, "text", "id", bench, "btext", w = 8))
+    // fpp=0.5 floods the prefilter with false positives; the exact confirm
+    // join must still produce the identical survivor set
+    val bloom = ids(Dedup.decontaminateBloom(corpus, "text", "id", bench, "btext",
+      w = 8, fpp = 0.5))
+    assert(exact == join)
+    assert(bloom == exact, "bloom tier must agree bit-for-bit with the exact tiers")
+    assert(!bloom.contains(3L) && bloom.size == base.size - 1)
+  }
+
+  test("dedupLinesKeepFirst: global first occurrence survives, later and within-doc repeats removed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common line\nunique one\ncommon line"), // within-doc repeat too
+      (2L, "common line\nunique two"),
+      (3L, "common line")                           // everything already seen
+    ).toDF("id", "text")
+    val out = Dedup.dedupLinesKeepFirst(docs, "text", "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "common line\nunique one")
+    assert(out(2L) == "unique two")
+    assert(out(3L) == "", "doc whose every line was seen before becomes empty, not dropped")
+  }
+
+  test("dedupAgainstCorpus: exact and near batch dups drop, novel rows keep (even batch-internal twins)") {
+    import spark.implicits._
+    val corpus = base.toDF("id", "text")
+    val novel = "totally novel words apple banana cherry dog elephant fox grape hotel"
+    val batch = Seq(
+      (1001L, base(0)._2),                 // exact copy of corpus doc 0
+      (1002L, base(1)._2 + " mutated"),    // near-dup of corpus doc 1
+      (1003L, novel),                      // novel -> kept
+      (1004L, novel)                       // batch-internal twin of 1003: kept
+    ).toDF("id", "text")                   // (dedup is vs the CORPUS only)
+    val survivors = Dedup.dedupAgainstCorpus(batch, corpus, "text", "id",
+        w = 3, k = 32, bands = 16, threshold = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1003L, 1004L), s"got $survivors")
+  }
 }

@@ -199,4 +199,39 @@ class AnnSpec extends AnyFunSuite {
       (a < 25) == (b < 25) // same cluster
     })
   }
+
+  test("semDedup: matches a brute-force keep-lowest-id oracle and keeps cross-cluster near-pairs") {
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "embedding")
+    val index = Ann.ivfFit(df, "embedding", k = 4, seed = 7L)
+    val threshold = 0.97
+    val survivors = Ann.semDedup(df, "embedding", "vec_id", index, threshold)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // brute-force restatement of the contract: dropped iff some lower-id
+    // row in the SAME assigned cluster is within the cosine threshold
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) -1.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val assigned = rows.map { case (id, v) =>
+      (id, v, index.nearestCentroids(v.map(_.toDouble), 1)(0))
+    }
+    val expected = assigned.filter { case (id, v, cl) =>
+      !assigned.exists { case (id2, v2, cl2) =>
+        id2 < id && cl2 == cl && cos(v2, v) >= threshold
+      }
+    }.map(_._1).toSet
+    assert(survivors == expected,
+      s"diff: engine-only=${survivors -- expected}, oracle-only=${expected -- survivors}")
+    // sanity on the shape: something was dropped, every cluster keeps its
+    // own lowest-id member, and drops happened (clusters of 25 near-equal
+    // vectors at 0.97 must collapse)
+    assert(survivors.size < rows.size)
+    val minPerCluster = assigned.groupBy(_._3).map { case (_, g) => g.map(_._1).min }
+    assert(minPerCluster.forall(survivors.contains))
+  }
 }
