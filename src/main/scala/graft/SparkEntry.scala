@@ -91,6 +91,23 @@ object SparkEntry {
     docs.unionByName(dups)
   }
 
+  /** documents.text with Gopher-rule trigger material planted
+    * deterministically (word-soup has no bullets/symbols/ellipses and at
+    * most one stopword, so the signals would be degenerate): bullets on
+    * %6, '#' symbols on %9, ellipsis lines on %8==1, stopwords on %7==2.
+    * Shared by q75 (signal table) and q79 (streaming keep gate); the
+    * oracle replays the identical CASE chain in SQL. */
+  private def gopherPlanted: Column = {
+    val t1 = when(col("doc_id") % 6 === 0,
+      concat(col("text"), lit("\n- first bullet item\n* second bullet item")))
+      .otherwise(col("text"))
+    val t2 = when(col("doc_id") % 9 === 0, concat(t1, lit(" ## ## #"))).otherwise(t1)
+    val t3 = when(col("doc_id") % 8 === 1,
+      concat(t2, lit("\nwait for more...\nnot done"))).otherwise(t2)
+    when(col("doc_id") % 7 === 2,
+      concat(t3, lit(" and that have with to be of"))).otherwise(t3)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 group count — `features.py:86` value_counts
     "q1_agg" -> ((s, dir) =>
@@ -624,6 +641,86 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher QUALITY rules (Rae et al. Table A1, the non-repetition
+    // layer): word count, mean word length, #/... symbol-to-word ratios,
+    // bullet-line fraction, alpha-word fraction, stopword hits, combined
+    // keep — one narrow codegen'd stage of higher-order functions, no
+    // explode/shuffle/UDF. Bullets/symbols/ellipses/stopwords planted
+    // deterministically (word-soup has none); integer counts then ONE
+    // double division per ratio keep the gate bit-exact.
+    "q75_gopher_rules" -> ((s, dir) => {
+      val t2 = gopherPlanted
+      t(s, dir, "documents").select(col("doc_id"), t2.as("t2"))
+        .select(col("doc_id"),
+          graft.quality.GopherRules.nWords(col("t2")).as("n_words"),
+          graft.quality.GopherRules.meanWordLen(col("t2")).as("mean_word_len"),
+          graft.quality.GopherRules.symbolWordRatio(col("t2"), "#").as("hash_word_ratio"),
+          graft.quality.GopherRules.symbolWordRatio(col("t2"), "...").as("ellipsis_word_ratio"),
+          graft.quality.GopherRules.bulletLineFrac(col("t2")).as("bullet_line_frac"),
+          graft.quality.GopherRules.alphaWordFrac(col("t2")).as("alpha_word_frac"),
+          graft.quality.GopherRules.stopwordHits(col("t2")).as("stopword_hits"),
+          graft.quality.GopherRules.keep(col("t2")).cast("int").as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // Z-ORDER clustered layout: documents materialized Morton-sorted on
+    // (doc_id, n_chars) — row groups cover small 2-D tiles so predicates
+    // on EITHER dimension prune (LayoutSpec asserts input-rows reduction
+    // on both); the layout changes row placement, never results, so the
+    // oracle is the plain table query (the q59 stance). Build is
+    // fingerprint-cached like q59/q61.
+    "q76_zorder_layout" -> ((s, dir) => {
+      val fp = pathFingerprint(s, s"$dir/documents.parquet")
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q76_${new java.io.File(dir).getName}_$fp").toString
+      graft.etl.BuildCache.cachedBuild(s, path, fp) {
+        graft.etl.Layout.writeZOrdered(t(s, dir, "documents"), path,
+          numFiles = 8, colA = "doc_id", colB = "n_chars")
+      }
+      s.read.parquet(path)
+        .filter(col("n_chars").between(200, 500) && col("doc_id").between(50, 350))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .orderBy("source")
+    }),
+
+    // duplicated-SPAN coverage (Lee et al. exact-substring measure at
+    // word-8-gram resolution): fraction of each doc's word positions
+    // covered by a gram occurring >= 2 times corpus-wide — the word-soup
+    // corpus carries ~9% natural dup positions, no planting needed.
+    // Fixed-width intervals make coverage a closed form over one lead()
+    // window (no fold state); integer counts, one double division.
+    "q77_dup_span" -> ((s, dir) =>
+      graft.dedup.Dedup.dupSpanStats(t(s, dir, "documents"), "text", "doc_id", w = 8)
+        .orderBy("doc_id")),
+
+    // distinct-count EXACT tier (the q78 gate; the HLL sketch +
+    // mergeable-sketch tiers are the 100 TB path, spec-asserted within
+    // rsd and union==single-pass in CardinalitySpec)
+    "q78_cardinality" -> ((s, dir) =>
+      graft.stats.Cardinality.exact(t(s, dir, "documents"), Seq("lang"), col("n_chars"))
+        .orderBy("lang")),
+
+    // the SAME Gopher keep gate as a STREAM (AvailableNow replay of the
+    // documents table): the quality filter is one Column expression, so
+    // batch and Structured Streaming share it verbatim — the
+    // incremental-ingest shape (today's crawl filtered as it lands).
+    // Stateless filter -> append mode; oracle = the batch restatement.
+    "q79_stream_quality" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val path = s"$dir/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/[d]ocuments.parquet")
+      val kept = stream.select(col("doc_id"), col("lang"), gopherPlanted.as("t2"))
+        .filter(graft.quality.GopherRules.keep(col("t2")))
+        .select("doc_id", "lang")
+      val qname = s"graft_q79_${streamQuerySeq.incrementAndGet()}"
+      val q = kept.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qname).orderBy("doc_id")
+    }),
+
     // SimHash near-dup pairs on planted dups (no SQL oracle)
     "q20_simhash_dups" -> ((s, dir) =>
       graft.dedup.Dedup.simhashDupPairs(docsWithPlantedDups(s, dir), "text", "doc_id",
@@ -1115,6 +1212,60 @@ object SparkEntry {
          | OR (CASE WHEN length(text)=0 THEN 0.0 ELSE $punctCountSql / CAST(length(text) AS DOUBLE) END) < 0.01
          | OR (CASE WHEN length(text)=0 THEN 0.0 ELSE $punctCountSql / CAST(length(text) AS DOUBLE) END) > 0.4
          | OR (CASE WHEN length(text)=0 THEN 0.0 ELSE $digitCountSql / CAST(length(text) AS DOUBLE) END) > 0.5)""".stripMargin
+    // gopherPlanted's CASE chain + the Gopher signal battery (shared by
+    // q75/q79): integer counts, one double division per ratio — mirrors
+    // quality/GopherRules.scala expression for expression
+    val gopherPlantedSql =
+      """p AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 7 = 2 THEN t3 || ' and that have with to be of' ELSE t3 END AS t2
+        |  FROM (SELECT doc_id, lang,
+        |          CASE WHEN doc_id % 8 = 1 THEN tx || chr(10) || 'wait for more...' || chr(10) || 'not done' ELSE tx END AS t3
+        |        FROM (SELECT doc_id, lang,
+        |                CASE WHEN doc_id % 9 = 0 THEN t1 || ' ## ## #' ELSE t1 END AS tx
+        |              FROM (SELECT doc_id, lang,
+        |                      CASE WHEN doc_id % 6 = 0
+        |                        THEN text || chr(10) || '- first bullet item' || chr(10) || '* second bullet item'
+        |                        ELSE text END AS t1
+        |                    FROM documents))))""".stripMargin
+    val gopherSignalsSql =
+      """arr AS (
+        |  SELECT doc_id, lang, t2,
+        |    list_filter(regexp_split_to_array(t2, '\s+'), x -> x <> '') AS ws,
+        |    list_filter(string_split(t2, chr(10)), x -> len(x) > 0) AS ls
+        |  FROM p),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(CASE WHEN len(ws) = 0 THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+        |      END AS DOUBLE) AS mean_word_len,
+        |    CAST(CASE WHEN len(ws) = 0 THEN 0.0
+        |      ELSE ((len(t2) - len(replace(t2, '#', ''))) / 1.0) / CAST(len(ws) AS DOUBLE)
+        |      END AS DOUBLE) AS hash_word_ratio,
+        |    CAST(CASE WHEN len(ws) = 0 THEN 0.0
+        |      ELSE ((len(t2) - len(replace(t2, '...', ''))) / 3.0) / CAST(len(ws) AS DOUBLE)
+        |      END AS DOUBLE) AS ellipsis_word_ratio,
+        |    CAST(CASE WHEN len(ls) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(ls, x -> starts_with(x, '- ') OR starts_with(x, '* ') OR starts_with(x, '•'))) AS DOUBLE)
+        |           / CAST(len(ls) AS DOUBLE) END AS DOUBLE) AS bullet_line_frac,
+        |    CAST(CASE WHEN len(ls) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(ls, x -> x LIKE '%...')) AS DOUBLE)
+        |           / CAST(len(ls) AS DOUBLE) END AS DOUBLE) AS ellipsis_line_frac,
+        |    CAST(CASE WHEN len(ws) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |           / CAST(len(ws) AS DOUBLE) END AS DOUBLE) AS alpha_word_frac,
+        |    CAST(len(list_intersect(list_distinct(list_transform(ws, w -> lower(w))),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stopword_hits
+        |  FROM arr),
+        |k AS (
+        |  SELECT *,
+        |    CAST((n_words BETWEEN 50 AND 100000
+        |      AND mean_word_len BETWEEN 3.0 AND 10.0
+        |      AND hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1
+        |      AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+        |      AND alpha_word_frac >= 0.8 AND stopword_hits >= 2) AS INTEGER) AS keep
+        |  FROM m)""".stripMargin
     Map(
       "q1_agg" ->
         "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1 ORDER BY 1",
@@ -2007,6 +2158,59 @@ object SparkEntry {
           |SELECT doc_id, lang FROM batch
           |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
           |ORDER BY doc_id""".stripMargin,
+      // Gopher signal battery: identical planting, integer counts then
+      // one double division per ratio (expression-for-expression mirror
+      // of quality/GopherRules.scala)
+      "q75_gopher_rules" ->
+        s"""WITH $gopherPlantedSql,
+           |$gopherSignalsSql
+           |SELECT doc_id, n_words, mean_word_len, hash_word_ratio,
+           |  ellipsis_word_ratio, bullet_line_frac, alpha_word_frac,
+           |  stopword_hits, keep
+           |FROM k ORDER BY doc_id""".stripMargin,
+      // z-order changes row placement, never results (the q59 stance)
+      "q76_zorder_layout" ->
+        """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents
+          |WHERE n_chars BETWEEN 200 AND 500 AND doc_id BETWEEN 50 AND 350
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // duplicated-span coverage: zipped-unnest positions, HAVING >= 2
+      // gram counts, the same closed-form lead() coverage window
+      "q77_dup_span" ->
+        """WITH b AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+          |  FROM documents),
+          |base AS (SELECT doc_id, len(ws) AS n, ws FROM b),
+          |gr AS (
+          |  SELECT doc_id,
+          |    unnest(generate_series(1, len(ws) - 7)) - 1 AS pos,
+          |    unnest(list_transform(generate_series(1, len(ws) - 7),
+          |      i -> array_to_string(ws[i:i+7], ' '))) AS g
+          |  FROM base WHERE n >= 8),
+          |dup AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= 2),
+          |hit AS (SELECT doc_id, pos FROM gr WHERE g IN (SELECT g FROM dup)),
+          |cov AS (
+          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_tokens FROM (
+          |    SELECT doc_id,
+          |      least(8, coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 8)) AS c
+          |    FROM hit) GROUP BY doc_id),
+          |j AS (SELECT base.doc_id, base.n, coalesce(cov.dup_tokens, 0) AS dup_tokens
+          |      FROM base LEFT JOIN cov ON base.doc_id = cov.doc_id)
+          |SELECT doc_id, CAST(n AS BIGINT) AS n_words, dup_tokens,
+          |  CAST(CASE WHEN n = 0 THEN 0.0
+          |    ELSE CAST(dup_tokens AS DOUBLE) / CAST(n AS DOUBLE) END AS DOUBLE) AS dup_span_frac
+          |FROM j ORDER BY doc_id""".stripMargin,
+      // exact tier of the dual-tier cardinality (sketch tier spec-gated)
+      "q78_cardinality" ->
+        """SELECT lang, CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      // the streaming keep gate equals the batch restatement: same
+      // planting, same signal battery, filter on keep
+      "q79_stream_quality" ->
+        s"""WITH $gopherPlantedSql,
+           |$gopherSignalsSql
+           |SELECT doc_id, lang FROM k WHERE keep = 1 ORDER BY doc_id""".stripMargin,
       // co-located bucketed join must equal the plain shuffled join
       "q48_bucketed_join" ->
         """SELECT c_nationkey, count(*) AS n,

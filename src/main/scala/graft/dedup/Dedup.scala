@@ -747,6 +747,61 @@ object Dedup {
     * need no separate exact tier; the fingerprint anti-join still runs
     * FIRST because it removes the (typically dominant) exact-dup mass
     * before the shingle/banding work is spent on it. */
+  /** Per-document DUPLICATED-SPAN coverage (Lee et al. 2022's
+    * exact-substring dedup measure at word-`w`-gram resolution): the
+    * fraction of a document's word positions covered by some `w`-gram
+    * that occurs at least `minCount` times across the whole corpus
+    * (within-doc repeats count). The per-doc score a span-dedup pass
+    * thresholds on — unlike `minhashDupPairs` (whole-doc similarity)
+    * this catches a unique page whose MIDDLE is a syndicated article.
+    *
+    * Shape: one narrow pass builds the in-row gram array (no text
+    * shuffle), positions explode to (id, pos, gram); ONE aggregate
+    * shuffle counts gram frequency (map-side partial agg), a semi-join
+    * keeps the duplicated positions, and coverage is a CLOSED FORM over
+    * one id-keyed window — intervals have fixed width `w`, so the union
+    * size is sum(min(w, nextPos - pos)), no fold state. The window's
+    * id-partitioning is reused by the final per-doc sum (no extra
+    * exchange). Grams shuffle as STRINGS: the count key must be the
+    * exact gram because the gate is exact-substring semantics (the
+    * `dropBoilerplateLines` stance — a 64-bit gram hash would save key
+    * bytes at an n²/2⁶⁴ false-dup risk and break the bit-exact oracle).
+    *
+    * Output: `idCol`, `n_words`, `dup_tokens` (positions covered),
+    * `dup_span_frac` = dup_tokens/n_words (0.0 for docs under `w`
+    * words). Integer counts, one double division — SQL-reproducible
+    * bit-for-bit (q77). */
+  def dupSpanStats(docs: DataFrame, textCol: String, idCol: String,
+                   w: Int = 8, minCount: Long = 2): DataFrame = {
+    require(w >= 1, s"gram width w must be >= 1, got $w")
+    val ws = F.filter(F.split(F.lower(F.col(textCol)), "\\s+"), x => x =!= "")
+    val base = docs.select(F.col(idCol), ws.as("__ws"))
+      .select(F.col(idCol), F.col("__ws"), F.size(F.col("__ws")).as("__n"))
+    val grams = base.filter(F.col("__n") >= w)
+      .select(F.col(idCol), F.posexplode(
+        F.transform(F.sequence(F.lit(0), F.col("__n") - w),
+          i => F.array_join(F.slice(F.col("__ws"), i + 1, F.lit(w)), " ")))
+        .as(Seq("__pos", "__g")))
+    val dupGrams = grams.groupBy("__g")
+      .agg(F.count(F.lit(1)).as("__c"))
+      .filter(F.col("__c") >= minCount)
+      .select("__g")
+    val wNext = Window.partitionBy(idCol).orderBy("__pos")
+    val covered = grams.join(dupGrams, Seq("__g"), "left_semi")
+      .withColumn("__cov", F.least(F.lit(w.toLong),
+        F.coalesce(F.lead("__pos", 1).over(wNext) - F.col("__pos"), F.lit(w))
+          .cast("long")))
+      .groupBy(idCol)
+      .agg(F.sum("__cov").as("__dup"))
+    base.join(covered, Seq(idCol), "left")
+      .select(F.col(idCol),
+        F.col("__n").cast("long").as("n_words"),
+        F.coalesce(F.col("__dup"), F.lit(0L)).as("dup_tokens"),
+        F.when(F.col("__n") === 0, 0.0)
+          .otherwise(F.coalesce(F.col("__dup"), F.lit(0L)).cast("double")
+            / F.col("__n").cast("double")).as("dup_span_frac"))
+  }
+
   def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame,
                          textCol: String, idCol: String,
                          w: Int = 3, k: Int = 32, bands: Int = 16,

@@ -43,6 +43,47 @@ object Layout {
   def readRange(spark: SparkSession, path: String, predicate: Column): DataFrame =
     spark.read.parquet(path).filter(predicate)
 
+  /** Z-VALUE of two non-negative integer columns: their lower `bits`
+    * bits interleaved (a in the even positions, b in the odd). Points
+    * close in BOTH dimensions get close z-values, so sorting by z
+    * co-locates 2-D neighborhoods — the Morton-curve layout behind
+    * Delta/Iceberg Z-ORDER clustering. Pure integer bit arithmetic
+    * (shift/mask/add), identical in any engine — the q76 oracle recomputes
+    * it in SQL. Inputs must fit in `bits` bits (caller normalizes —
+    * rank/bucket first for arbitrary domains); values beyond that fold
+    * into the same z-prefix rather than erroring, which only weakens
+    * pruning, never correctness. */
+  def zValue(a: Column, b: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      F.shiftleft(F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1L)), 2 * i) +
+        F.shiftleft(F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** One-time materialization of `df` Z-ORDER clustered on two
+    * dimensions: range-partitioned and sorted by the interleaved-bit
+    * z-value, so every parquet row group covers a small 2-D tile and
+    * min/max stats prune scans filtered on EITHER dimension (or both).
+    * `writeRangeClustered` on one key prunes only that key; at 100 TB a
+    * table queried by both time AND tenant (or id AND size) needs the
+    * multi-dimensional layout or one of the two access paths reads
+    * everything. The z column itself is not written — pruning rides the
+    * natural columns' row-group stats (LayoutSpec asserts input-rows
+    * reduction on BOTH dimensions). */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+                    colA: String, colB: String, bits: Int = 21,
+                    rowGroupBytes: Option[Long] = None): Unit = {
+    val z = zValue(F.col(colA), F.col(colB), bits)
+    val w = df.withColumn("__z", z)
+      .repartitionByRange(numFiles, F.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite")
+    rowGroupBytes.fold(w)(b => w.option("parquet.block.size", b.toString))
+      .parquet(path)
+  }
+
   /** COMPACTION: bin-pack a directory of small files into ~`targetBytes`
     * outputs. Streaming sinks and fine-grained partitioned writes leave
     * thousands of KB-sized files; at 100 TB the per-file open/footer cost

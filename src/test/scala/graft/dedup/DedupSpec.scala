@@ -449,6 +449,28 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == "", "doc whose every line was seen before becomes empty, not dropped")
   }
 
+  test("dupSpanStats: fixed-width interval coverage — isolated, repeated, overlapping and short docs") {
+    import spark.implicits._
+    val w8 = (1 to 8).map(i => s"w$i").mkString(" ")          // shared 8-gram
+    val docs = Seq(
+      (1L, w8 + " x1 x2"),                                    // dup gram at pos 0: 8 of 10
+      (2L, w8 + " y1 y2"),                                    // same: 8 of 10
+      (3L, "p q r s t u v k p q r s t u v k"),                // self-repeat at pos 0+8: 16 of 16
+      (4L, (1 to 11).map(i => s"z$i").mkString(" ")),         // all grams dup vs doc 5
+      (5L, (1 to 11).map(i => s"z$i").mkString(" ")),         //   -> overlapping intervals merge to 11
+      (6L, "only seven words here nothing more really")       // < 8 words: no grams
+    ).toDF("id", "text")
+    val out = Dedup.dupSpanStats(docs, "text", "id", w = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((10L, 8L, 0.8)))
+    assert(out(2L) == ((10L, 8L, 0.8)))
+    assert(out(3L) == ((16L, 16L, 1.0)), "within-doc repeats count toward the corpus-wide >= 2")
+    assert(out(4L) == ((11L, 11L, 1.0)),
+      "overlapping dup intervals (pos 0..3, width 8) union to the whole doc, not 4*8")
+    assert(out(5L) == ((11L, 11L, 1.0)))
+    assert(out(6L) == ((7L, 0L, 0.0)), "docs under w words carry no spans")
+  }
+
   test("dedupAgainstCorpus: exact and near batch dups drop, novel rows keep (even batch-internal twins)") {
     import spark.implicits._
     val corpus = base.toDF("id", "text")
