@@ -14,7 +14,7 @@ import graft.pipeline.CorpusPrep
   *     [--id-col doc_id] [--text-col text] [--no-report] [--local N] \
   *     [--line-clean] [--boilerplate-min-df 50] \
   *     [--max-dup-line-frac 0.3] [--max-dup-line-char-frac 0.2] \
-  *     [--max-top-ngram-frac 0.18]
+  *     [--max-top-ngram-frac 0.18] [--lm-band 0.0:0.75]
   *
   * Writes the packed survivors partitioned by the shard column and prints
   * one JSON status line with the per-stage survivor counts.
@@ -51,6 +51,12 @@ object RunCorpusPrep {
       val Array(lo, hi) = s.split(":", 2)
       (lo.toDouble, hi.toDouble)
     }
+    // per-shard LM-perplexity quantile band (stage 4c), e.g. "0.0:0.75"
+    // drops the weirdest quartile by unigram surprisal per shard
+    val lmBand = opt.get("lm-band").map { s =>
+      val Array(lo, hi) = s.split(":", 2)
+      (lo.toDouble, hi.toDouble)
+    }
     val report = !opt.contains("no-report")
     // quality-signal stages (q62/q64/q65/q66 operators), all off unless
     // flagged — thresholds are the Gopher/C4/RefinedWeb-style knobs
@@ -75,6 +81,7 @@ object RunCorpusPrep {
       benchmark = benchmark, benchTextCol = textCol,
       tokenBudget = budget, threshold = threshold,
       qualityBand = qualityBand,
+      lmBand = lmBand,
       lineClean = lineClean,
       maxDupLineFrac = maxDupLineFrac,
       maxDupLineCharFrac = maxDupLineCharFrac,

@@ -694,6 +694,22 @@ object SparkEntry {
       graft.dedup.Dedup.dupSpanStats(t(s, dir, "documents"), "text", "doc_id", w = 8)
         .orderBy("doc_id")),
 
+    // duplicated-span REMOVAL end-to-end (q77's measure turned into the
+    // rewrite): a syndicated 11-word sentence planted on %4==2 (cross-doc
+    // dup 8-grams) on top of the corpus's natural dup spans; covered
+    // positions are scrubbed and the doc rebuilt from original-case
+    // survivors. md5 byte-parity on the rebuilt text (the q72 stance).
+    "q84_drop_dup_spans" -> ((s, dir) => {
+      val phrase = " syndicated wire story reproduced verbatim across many outlets again today updated"
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 2, concat(col("text"), lit(phrase)))
+          .otherwise(col("text")).as("t2"))
+      graft.dedup.Dedup.dropDupSpans(docs, "t2", "doc_id", w = 8)
+        .select(col("doc_id"), col("n_words"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // distinct-count EXACT tier (the q78 gate; the HLL sketch +
     // mergeable-sketch tiers are the 100 TB path, spec-asserted within
     // rsd and union==single-pass in CardinalitySpec)
@@ -749,6 +765,39 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val counts = graft.quality.LmScore.unigramCounts(docs, "text")
       graft.quality.LmScore.scoreQuantizedBits(docs, "text", "doc_id", counts)
+        .orderBy("doc_id")
+    }),
+
+    // CCNet-style LM quality band split end-to-end: score every doc by
+    // quantized unigram surprisal (q81's tier), then keep the best three
+    // quartiles PER LANGUAGE ("drop the worst quartile by perplexity per
+    // language" — the CCNet head/middle split). The band metric is the
+    // INTEGER milli-bits rate ((sum_bits*1000) div n_tokens), so the
+    // exact percentile cutoffs interpolate integer-valued doubles at
+    // dyadic fractions — bit-exact in any engine (the q58 stance).
+    "q83_lm_band" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = graft.quality.LmScore.unigramCounts(docs, "text")
+      val scored = docs.select(col("doc_id"), col("lang"))
+        .join(graft.quality.LmScore.scoreQuantizedBits(docs, "text", "doc_id", counts),
+          Seq("doc_id"))
+        .withColumn("milli_bits", when(col("n_tokens") === 0, 0L)
+          .otherwise(expr("(sum_bits * 1000) div n_tokens")))
+      graft.stats.Quantiles.keepQuantileBand(scored, col("milli_bits"),
+          Seq("lang"), 0.0, 0.75, useExact = true)
+        .select("doc_id", "lang", "n_tokens", "sum_bits", "milli_bits")
+        .orderBy("doc_id")
+    }),
+
+    // DSIR domain-importance weights (quantized-bits tier): target
+    // domain = the 'de' slice of the corpus, raw = the whole corpus;
+    // weight = quantized log-likelihood ratio per token, integer sums.
+    // Positive docs read more like the target than the average.
+    "q85_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tc = graft.quality.LmScore.unigramCounts(docs.filter(col("lang") === "de"), "text")
+      val rc = graft.quality.LmScore.unigramCounts(docs, "text")
+      graft.quality.LmScore.importanceBits(docs, "text", "doc_id", tc, rc)
         .orderBy("doc_id")
     }),
 
@@ -2247,6 +2296,49 @@ object SparkEntry {
           |  CAST(CASE WHEN n = 0 THEN 0.0
           |    ELSE CAST(dup_tokens AS DOUBLE) / CAST(n AS DOUBLE) END AS DOUBLE) AS dup_span_frac
           |FROM j ORDER BY doc_id""".stripMargin,
+      // duplicated-span removal: q77's gram machinery (lowered grams over
+      // original-case words), start flags joined back to every position,
+      // coverage via max over RANGE [pos-7, pos], ordered string_agg
+      // rebuild; md5 byte parity on the rebuilt text
+      "q84_drop_dup_spans" ->
+        """WITH inj AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 4 = 2
+          |      THEN text || ' syndicated wire story reproduced verbatim across many outlets again today updated'
+          |      ELSE text END AS t2
+          |  FROM documents),
+          |b AS (SELECT doc_id,
+          |        list_filter(regexp_split_to_array(t2, '\s+'), x -> x <> '') AS ws
+          |      FROM inj),
+          |base AS (SELECT doc_id, len(ws) AS n, ws FROM b),
+          |gr AS (
+          |  SELECT doc_id,
+          |    unnest(generate_series(1, len(ws) - 7)) - 1 AS pos,
+          |    unnest(list_transform(generate_series(1, len(ws) - 7),
+          |      i -> array_to_string(list_transform(ws[i:i+7], x -> lower(x)), ' '))) AS g
+          |  FROM base WHERE n >= 8),
+          |dup AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= 2),
+          |st AS (SELECT doc_id,
+          |        unnest(generate_series(1, len(ws))) - 1 AS pos,
+          |        unnest(ws) AS w
+          |      FROM base WHERE n >= 8),
+          |hit AS (SELECT doc_id, pos FROM gr WHERE g IN (SELECT g FROM dup)),
+          |fl AS (SELECT st.doc_id, st.pos, st.w,
+          |        CASE WHEN hit.pos IS NOT NULL THEN 1 ELSE 0 END AS s
+          |      FROM st LEFT JOIN hit ON st.doc_id = hit.doc_id AND st.pos = hit.pos),
+          |cv AS (SELECT doc_id, pos, w,
+          |        max(s) OVER (PARTITION BY doc_id ORDER BY pos
+          |          RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+          |      FROM fl),
+          |k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nk,
+          |        string_agg(w, ' ' ORDER BY pos) AS ct
+          |      FROM cv WHERE cov = 0 GROUP BY 1)
+          |SELECT base.doc_id AS doc_id, CAST(base.n AS BIGINT) AS n_words,
+          |  CAST(CASE WHEN base.n < 8 THEN base.n ELSE coalesce(k.nk, 0) END AS BIGINT) AS n_kept,
+          |  md5(CASE WHEN base.n < 8 THEN array_to_string(base.ws, ' ')
+          |    ELSE coalesce(k.ct, '') END) AS clean_md5
+          |FROM base LEFT JOIN k ON base.doc_id = k.doc_id
+          |ORDER BY base.doc_id""".stripMargin,
       // exact tier of the dual-tier cardinality (sketch tier spec-gated)
       "q78_cardinality" ->
         """SELECT lang, CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct
@@ -2309,6 +2401,68 @@ object SparkEntry {
           |  CAST(CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
           |    ELSE CAST(a.sum_bits AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)
           |    END AS DOUBLE) AS mean_bits
+          |FROM (SELECT doc_id FROM documents) d
+          |LEFT JOIN a ON d.doc_id = a.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+      // LM band split: q81's quantized scores -> integer milli-bits rate
+      // -> per-lang exact quantile band [min, p75]; integer division both
+      // sides, dyadic interpolation over integer-valued doubles
+      "q83_lm_band" ->
+        """WITH w AS (
+          |  SELECT doc_id,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS word
+          |  FROM documents),
+          |c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+          |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+          |s AS (SELECT doc_id,
+          |        CAST(length(format('{:b}', (SELECT total FROM t))) - 1 AS BIGINT)
+          |        - CAST(length(format('{:b}', cnt)) - 1 AS BIGINT) AS bits
+          |      FROM w JOIN c USING (word)),
+          |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |        CAST(sum(bits) AS BIGINT) AS sum_bits
+          |      FROM s GROUP BY 1),
+          |sc AS (SELECT d.doc_id, d.lang,
+          |        CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+          |        CAST(coalesce(a.sum_bits, 0) AS BIGINT) AS sum_bits,
+          |        CAST(CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
+          |          ELSE (a.sum_bits * 1000) // a.n_tokens END AS BIGINT) AS milli_bits
+          |      FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id),
+          |cuts AS (SELECT lang,
+          |        quantile_cont(CAST(milli_bits AS DOUBLE), 0.0) AS lo,
+          |        quantile_cont(CAST(milli_bits AS DOUBLE), 0.75) AS hi
+          |      FROM sc GROUP BY 1)
+          |SELECT sc.doc_id AS doc_id, sc.lang AS lang, sc.n_tokens, sc.sum_bits, sc.milli_bits
+          |FROM sc JOIN cuts ON sc.lang = cuts.lang
+          |WHERE CAST(sc.milli_bits AS DOUBLE) BETWEEN cuts.lo AND cuts.hi
+          |ORDER BY sc.doc_id""".stripMargin,
+      // DSIR quantized log-likelihood ratio: two count CTEs (target 'de'
+      // slice, raw corpus), per-token bits difference, integer sums;
+      // unseen-in-target tokens take cnt 1 (bits 0) via the left join
+      "q85_dsir_weights" ->
+        """WITH w AS (
+          |  SELECT doc_id, lang,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS word
+          |  FROM documents),
+          |ct AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w WHERE lang = 'de' GROUP BY 1),
+          |cr AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+          |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ct),
+          |tr AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cr),
+          |s AS (SELECT w.doc_id,
+          |        (CAST(length(format('{:b}', coalesce(ct.cnt, 1))) - 1 AS BIGINT)
+          |         - CAST(length(format('{:b}', (SELECT total FROM tt))) - 1 AS BIGINT))
+          |        - (CAST(length(format('{:b}', coalesce(cr.cnt, 1))) - 1 AS BIGINT)
+          |           - CAST(length(format('{:b}', (SELECT total FROM tr))) - 1 AS BIGINT)) AS b
+          |      FROM w LEFT JOIN ct ON w.word = ct.word
+          |             LEFT JOIN cr ON w.word = cr.word),
+          |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |        CAST(sum(b) AS BIGINT) AS sum_bits_diff
+          |      FROM s GROUP BY 1)
+          |SELECT d.doc_id AS doc_id,
+          |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+          |  CAST(coalesce(a.sum_bits_diff, 0) AS BIGINT) AS sum_bits_diff,
+          |  CAST(CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
+          |    ELSE CAST(a.sum_bits_diff AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)
+          |    END AS DOUBLE) AS mean_bits_diff
           |FROM (SELECT doc_id FROM documents) d
           |LEFT JOIN a ON d.doc_id = a.doc_id
           |ORDER BY d.doc_id""".stripMargin,

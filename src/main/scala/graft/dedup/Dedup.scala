@@ -802,6 +802,71 @@ object Dedup {
             / F.col("__n").cast("double")).as("dup_span_frac"))
   }
 
+  /** Duplicated-span REMOVAL (the rewrite counterpart of `dupSpanStats`):
+    * every word position covered by some `w`-gram occurring at least
+    * `minCount` times corpus-wide (case-insensitive gram matching,
+    * within-doc repeats count) is dropped, and the document is rebuilt
+    * from the surviving ORIGINAL-case words joined by single spaces.
+    * Policy: ALL occurrences of a duplicated span are scrubbed (the
+    * boilerplate stance of `dropBoilerplateLines`, at span granularity) —
+    * keep-one-occurrence would need a global canonical-occurrence
+    * election; for training-data prep the recurring span IS the
+    * boilerplate. Docs under `w` words pass through verbatim (no gram can
+    * start in them); docs whose every position is covered come back
+    * empty, not dropped — the caller decides on a min-length gate.
+    *
+    * Shape: ONE token explode carries (pos, original word, lowered gram
+    * built in-row — no lead chains); one map-side-combined gram-count
+    * shuffle; a gram join marks dup STARTS; one id-keyed window turns
+    * starts into per-position coverage via max over RANGE [pos-w+1, pos]
+    * (closed form — never an explode of the w covered positions per
+    * start); the rebuild groupBy reuses the window's id partitioning.
+    * Grams shuffle as exact strings (the `dupSpanStats` stance). Integer
+    * counts and byte-exact rebuilt text — SQL-reproducible (q84). */
+  def dropDupSpans(docs: DataFrame, textCol: String, idCol: String,
+                   w: Int = 8, minCount: Long = 2): DataFrame = {
+    require(w >= 2, s"gram width w must be >= 2, got $w")
+    val wsOrig = F.filter(F.split(F.col(textCol), "\\s+"), x => x =!= "")
+    val base = docs.select(F.col(idCol), wsOrig.as("__ws"))
+      .select(F.col(idCol), F.col("__ws"), F.size(F.col("__ws")).as("__n"))
+    // (word, gram-or-null) pairs built in one in-row pass: gram i joins
+    // the lowered words [i, i+w); tail positions carry a null gram
+    val lws = F.transform(F.col("__ws"), x => F.lower(x))
+    val grams = F.transform(F.sequence(F.lit(0), F.col("__n") - w),
+      i => F.array_join(F.slice(lws, i + 1, F.lit(w)), " "))
+    val padded = F.concat(grams,
+      F.array_repeat(F.lit(null).cast("string"), F.lit(w - 1)))
+    val tok = base.filter(F.col("__n") >= w)
+      .withColumn("__zip",
+        F.zip_with(F.col("__ws"), padded, (a, b) => F.struct(a.as("w"), b.as("g"))))
+      .select(F.col(idCol), F.posexplode(F.col("__zip")).as(Seq("__pos", "__t")))
+      .select(F.col(idCol), F.col("__pos"),
+        F.col("__t").getField("w").as("__w"), F.col("__t").getField("g").as("__g"))
+    val dupGrams = tok.filter(F.col("__g").isNotNull)
+      .groupBy("__g").agg(F.count(F.lit(1)).as("__c"))
+      .filter(F.col("__c") >= minCount)
+      .select(F.col("__g"), F.lit(1).as("__d"))
+    val covWin = Window.partitionBy(idCol).orderBy("__pos")
+      .rangeBetween(-(w - 1), 0)
+    val kept = tok.join(dupGrams, Seq("__g"), "left")
+      .withColumn("__start", F.when(F.col("__d").isNotNull, 1).otherwise(0))
+      .withColumn("__covered", F.max("__start").over(covWin))
+      .filter(F.col("__covered") === 0)
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("__nk"),
+        F.array_join(
+          F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("__pos"), F.col("__w")))),
+            t => t.getField("__w")), " ").as("__ct"))
+    base.join(kept, Seq(idCol), "left")
+      .select(F.col(idCol),
+        F.col("__n").cast("long").as("n_words"),
+        F.when(F.col("__n") < w, F.col("__n").cast("long"))
+          .otherwise(F.coalesce(F.col("__nk"), F.lit(0L))).as("n_kept"),
+        F.when(F.col("__n") < w, F.array_join(F.col("__ws"), " "))
+          .otherwise(F.coalesce(F.col("__ct"), F.lit(""))).as("clean_text"))
+  }
+
   def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame,
                          textCol: String, idCol: String,
                          w: Int = 3, k: Int = 32, bands: Int = 16,

@@ -29,6 +29,10 @@ import graft.quality.Rules
   *   4b. quality quantile band (optional: keep docs inside a per-shard
   *       quality-score quantile band — q52's sketch cutoffs + broadcast
   *       band filter, the "drop the worst decile per source" tier)
+  *   4c. LM perplexity band   (optional: CCNet-style unigram surprisal
+  *       band per shard, q81/q83 — the corpus trains its own vocab;
+  *       runs AFTER the afterQuality count, so the report's quality
+  *       number excludes it)
   *   5. sequence packing      (token-budget chunk layout, q56)
   *
   * Scale shape: stages 1–2 shuffle ids/hashes only, stage 3 is a
@@ -51,6 +55,7 @@ object CorpusPrep {
           tokenBudget: Long = 2048, w: Int = 3, k: Int = 32, bands: Int = 16,
           threshold: Double = 0.7, qualityBand: Option[(Double, Double)] = None,
           bandMetric: Option[Column] = None,
+          lmBand: Option[(Double, Double)] = None,
           maxBenchShingles: Int = 50000000,
           lineClean: Boolean = false,
           maxDupLineFrac: Option[Double] = None,
@@ -127,6 +132,30 @@ object CorpusPrep {
         case None => rulesKept
       }
     }
+    // optional stage 4c, unigram-LM perplexity band (q81/q83's CCNet
+    // recipe): the surviving corpus trains its OWN unigram vocabulary,
+    // every doc is scored by quantized surprisal, and only docs inside
+    // the per-shard [lo, hi] quantile band of the integer milli-bits
+    // rate survive ("drop the weirdest quartile by perplexity per
+    // source"). Unlike the narrow stages this needs its own aggregate
+    // jobs (vocab counts + cutoffs), so the input frame is ALWAYS
+    // checkpointed first — in report mode that also protects the
+    // one-shot quality Observation from being consumed with empty
+    // metrics by the count job (the boilerplate-stage hazard).
+    def lmBanded(df: DataFrame): DataFrame = lmBand match {
+      case Some((lo, hi)) =>
+        val ck = df.localCheckpoint(true)
+        val counts = graft.quality.LmScore.unigramCounts(ck, textCol)
+        val scored = ck.join(
+          graft.quality.LmScore.scoreQuantizedBits(ck, textCol, idCol, counts),
+          Seq(idCol))
+          .withColumn("__mb", F.when(F.col("n_tokens") === 0, 0L)
+            .otherwise(F.expr("(sum_bits * 1000) div n_tokens")))
+        graft.stats.Quantiles.keepQuantileBand(scored, F.col("__mb"),
+            Seq(shardCol), lo, hi)
+          .drop("n_tokens", "sum_bits", "mean_bits", "__mb")
+      case None => df
+    }
     def pack(df: DataFrame): DataFrame =
       Packing.packSequential(df, TextFunctions.tokenCount(text),
         shardCol, idCol, tokenBudget)
@@ -154,7 +183,7 @@ object CorpusPrep {
         case Some(b) => decontaminated(d2, b)
         case None => d2
       }
-      (pack(junkFree(d3)), None)
+      (pack(lmBanded(junkFree(d3))), None)
     } else {
       // each Observation below is filled by the eager localCheckpoint of
       // the frame it is attached to (checkpoint executes the observed plan
@@ -195,7 +224,7 @@ object CorpusPrep {
       // sum(head) is then an observable chunk count (observe cannot do
       // count-distinct)
       val wShard = Window.partitionBy(shardCol).orderBy(idCol)
-      val packed = pack(d4)
+      val packed = pack(lmBanded(d4))
         .withColumn("__head",
           (F.lag("chunk_id", 1).over(wShard).isNull ||
             F.lag("chunk_id", 1).over(wShard) =!= F.col("chunk_id")).cast("long"))

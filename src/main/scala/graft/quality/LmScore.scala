@@ -84,6 +84,53 @@ object LmScore {
             / F.col("n_tokens").cast("double")).as("mean_bits"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"), quantized-bits tier:
+    * weight(doc) = Σ_w [log2 p_target(w) - log2 p_raw(w)] with both logs
+    * quantized to integer bits — per token, (bits(cnt_t) - bits(total_t))
+    * - (bits(cnt_r) - bits(total_r)); integer sums, order-insensitive,
+    * oracle-exact (q85). Positive = the document reads more like the
+    * TARGET domain than the raw corpus; resample by weight or keep the
+    * top quantile band (`Quantiles.keepQuantileBand` on the integer
+    * milli-rate, the q83 pattern) to shift the training mix toward the
+    * target — DSIR's recipe with its hashed-ngram features reduced to
+    * the exact-unigram core (hashing the feature table is the scale
+    * lever for vocabulary SIZE, not a semantic change; the exact tier is
+    * what an oracle can check). Tokens unseen in either vocabulary take
+    * cnt = 1 — maximum surprisal under that distribution, the
+    * `scoreQuantizedBits` stance.
+    *
+    * Scale shape: both count tables broadcast by default (vocabularies
+    * are Heaps-law sublinear); the two one-row totals ride ONE broadcast
+    * cross join. One token explode, one map-side-combined per-doc sum. */
+  def importanceBits(docs: DataFrame, textCol: String, idCol: String,
+                     targetCounts: DataFrame, rawCounts: DataFrame,
+                     broadcastVocab: Boolean = true): DataFrame = {
+    val t = targetCounts.select(F.col("word"), F.col("cnt").as("__ct"))
+    val r = rawCounts.select(F.col("word"), F.col("cnt").as("__cr"))
+    val tv = if (broadcastVocab) F.broadcast(t) else t
+    val rv = if (broadcastVocab) F.broadcast(r) else r
+    val totals = F.broadcast(
+      targetCounts.agg(F.sum("cnt").as("__tt"))
+        .crossJoin(rawCounts.agg(F.sum("cnt").as("__tr"))))
+    val tok = docs.select(F.col(idCol), F.explode(tokens(F.col(textCol))).as("word"))
+    val scored = tok.join(tv, Seq("word"), "left").join(rv, Seq("word"), "left")
+      .crossJoin(totals)
+      .select(F.col(idCol),
+        ((bits(F.coalesce(F.col("__ct"), F.lit(1L))) - bits(F.col("__tt")))
+          - (bits(F.coalesce(F.col("__cr"), F.lit(1L))) - bits(F.col("__tr"))))
+          .as("__b"))
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_tokens"), F.sum("__b").as("sum_bits_diff"))
+    docs.select(F.col(idCol)).join(scored, Seq(idCol), "left")
+      .select(F.col(idCol),
+        F.coalesce(F.col("n_tokens"), F.lit(0L)).as("n_tokens"),
+        F.coalesce(F.col("sum_bits_diff"), F.lit(0L)).as("sum_bits_diff"),
+        F.when(F.coalesce(F.col("n_tokens"), F.lit(0L)) === 0, 0.0)
+          .otherwise(F.col("sum_bits_diff").cast("double")
+            / F.col("n_tokens").cast("double")).as("mean_bits_diff"))
+  }
+
   /** Production tier: mean -ln p(w) with add-one smoothing,
     * p(w) = (cnt + 1) / (total + |V|). The real CCNet threshold number;
     * spec-gated (double sums are order-defined, so no hash oracle). */

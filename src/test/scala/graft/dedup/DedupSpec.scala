@@ -471,6 +471,30 @@ class DedupSpec extends AnyFunSuite {
     assert(out(6L) == ((7L, 0L, 0.0)), "docs under w words carry no spans")
   }
 
+  test("dropDupSpans: within-doc, cross-doc, case-insensitive matching, original-case rebuild") {
+    import spark.implicits._
+    val shared = "p q r s t u v w" // 8 words, shared by docs 2 and 3
+    val docs = Seq(
+      // the 8-gram "a b c d e f g h" at pos 0 and 9: within-doc dup ->
+      // both occurrences scrubbed, only the separator X survives
+      (1L, "a b c d e f g h X a b c d e f g h"),
+      (2L, s"left flank $shared right flank"),
+      (3L, s"other intro words $shared"),
+      // case-insensitive gram matching, whole doc covered -> empty
+      (4L, "A b C d e f g h"),
+      (5L, "one two"), // under w: untouched, even though "one two" repeats nowhere
+      (6L, "i j k l m n o p q unique tail words") // no dup grams: kept whole
+    ).toDF("id", "text")
+    val out = Dedup.dropDupSpans(docs, "text", "id", w = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((17L, 1L, "X")), "original case survives the rebuild")
+    assert(out(2L) == ((12L, 4L, "left flank right flank")))
+    assert(out(3L) == ((11L, 3L, "other intro words")))
+    assert(out(4L) == ((8L, 0L, "")), "'A b C...' matches 'a b c...' case-insensitively")
+    assert(out(5L) == ((2L, 2L, "one two")), "docs under w pass through verbatim")
+    assert(out(6L) == ((12L, 12L, "i j k l m n o p q unique tail words")))
+  }
+
   test("dedupAgainstCorpus: exact and near batch dups drop, novel rows keep (even batch-internal twins)") {
     import spark.implicits._
     val corpus = base.toDF("id", "text")

@@ -181,6 +181,31 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(packed.count() == banded.afterQuality)
   }
 
+  test("optional LM perplexity band drops the word-salad docs after the quality count") {
+    import spark.implicits._
+    // prose: 40 tokens drawn pseudo-randomly from a SHARED 60-word pool
+    // (high counts -> low surprisal; random order, so no near-dup pair);
+    // salad: globally unique words (count 1 -> max surprisal)
+    def pool(k: Long): String = word(k % 60)
+    val prose = (0 until 40).map { i =>
+      ("s" + (i % 2), i.toLong,
+        (0 until 40).map(j => pool(math.abs(Dedup.mix64(i * 1000L + j)))).mkString(" "))
+    }
+    val salad = (0 until 8).map { i =>
+      ("s" + (i % 2), 500L + i,
+        (0 until 40).map(j => word(5000000L + i * 100L + j)).mkString(" "))
+    }
+    val docs = (prose ++ salad).toDF("shard", "id", "text")
+    val (packed, Some(rep)) = CorpusPrep.run(docs, "text", "id", "shard",
+      tokenBudget = 100L, lmBand = Some((0.0, 0.75)))
+    assert(rep.afterQuality == 48, "the LM band runs after the quality count")
+    val kept = packed.select("id").collect().map(_.getLong(0)).toSet
+    assert(salad.forall(s => !kept(s._2)),
+      s"every salad doc out-surprises the p75 cutoff: kept ${kept.filter(_ >= 500L)}")
+    assert(kept.size >= 30 && kept.size < 48,
+      s"the band drops roughly the top quartile, not the corpus: ${kept.size}")
+  }
+
   test("oversized benchmark auto-falls back to the semi-join tier, same survivors") {
     import spark.implicits._
     val base = (0 until 30).map(doc)

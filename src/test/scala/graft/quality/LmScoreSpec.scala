@@ -76,6 +76,23 @@ class LmScoreSpec extends AnyFunSuite {
     assert(out(3L)._2 > out(1L)._2)
   }
 
+  test("DSIR importance bits: hand-computed golden, tier parity, empty docs") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa aa bb"), (2L, "cc cc bb"), (3L, "")).toDF("id", "text")
+    val tc = LmScore.unigramCounts(docs.filter(F.col("id") === 1), "text")
+    val rc = LmScore.unigramCounts(docs, "text")
+    // target: aa=2 bb=1 total 3 (bits 1); raw: aa=2 bb=2 cc=2 total 6 (bits 2)
+    // aa: (1-1)-(1-2)=1; bb: (0-1)-(1-2)=0; cc unseen in target: (0-1)-(1-2)=0
+    val out = LmScore.importanceBits(docs, "text", "id", tc, rc)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 2L, 2.0 / 3)), "target doc scores positive")
+    assert(out(2L) == ((3L, 0L, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0.0)), "empty docs keep a zero row")
+    val shuffled = LmScore.importanceBits(docs, "text", "id", tc, rc, broadcastVocab = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(shuffled == out.map { case (k, v) => k -> v._2 }, "tiers result-identical")
+  }
+
   test("head-vs-salad separation on a 2k-doc corpus; the banded filter composes") {
     import spark.implicits._
     // 90% prose-like docs drawn from a 20-word head vocabulary, 10%
