@@ -549,6 +549,23 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // the contamination AUDIT over the same benchmark: per bench item,
+    // total distinct 8-grams, grams found anywhere in the corpus, and
+    // distinct contaminated docs. Every item leaks by construction (it
+    // is a window of a corpus doc) — the gate checks the exact counts.
+    "q86_contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def words(c: Column) =
+        filter(split(lower(c), "\\s+"), w => w =!= lit(""))
+      val bench = docs
+        .filter(col("doc_id") % 37 === 0 && size(words(col("text"))) >= 21)
+        .select(col("doc_id").as("bench_id"),
+          concat_ws(" ", slice(words(col("text")), 6, 16)).as("btext"))
+      graft.dedup.Dedup.contaminationReport(docs, "text", "doc_id",
+          bench, "btext", "bench_id", w = 8)
+        .orderBy("bench_id")
+    }),
+
     // the SAME decontamination semantics through the any-size SEMI-JOIN
     // tier (shuffled shingle hashes instead of a broadcast set — the path
     // for benchmark sides too large to broadcast); one oracle, two
@@ -2107,6 +2124,38 @@ object SparkEntry {
           |FROM sh, (SELECT list(g) AS bl FROM bg) b
           |WHERE len(list_intersect(s, b.bl)) = 0
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // contamination audit: distinct (id, gram) pairs both sides, one
+      // gram join, two count-distincts per bench item; the q55 gram and
+      // bench-window conventions verbatim
+      "q86_contamination_report" ->
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+          |  FROM documents),
+          |dg AS (SELECT DISTINCT doc_id, g FROM (
+          |  SELECT doc_id,
+          |    unnest(CASE WHEN len(ws) >= 8 THEN
+          |        list_distinct(list_transform(generate_series(1, len(ws) - 7),
+          |          i -> array_to_string(ws[i:i+7], ' ')))
+          |      WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
+          |      ELSE [] END) AS g
+          |  FROM d)),
+          |bench AS (SELECT doc_id AS bench_id, ws[6:21] AS bw
+          |      FROM d WHERE doc_id % 37 = 0 AND len(ws) >= 21),
+          |bgr AS (SELECT bench_id,
+          |        list_distinct(list_transform(generate_series(1, len(bw) - 7),
+          |          i -> array_to_string(bw[i:i+7], ' '))) AS gs
+          |      FROM bench),
+          |bg AS (SELECT bench_id, unnest(gs) AS g FROM bgr),
+          |h AS (SELECT bg.bench_id,
+          |        CAST(count(DISTINCT dg.doc_id) AS BIGINT) AS n_docs,
+          |        CAST(count(DISTINCT bg.g) AS BIGINT) AS n_grams_hit
+          |      FROM bg JOIN dg ON bg.g = dg.g GROUP BY 1)
+          |SELECT bgr.bench_id AS bench_id, CAST(len(bgr.gs) AS BIGINT) AS n_grams,
+          |  CAST(coalesce(h.n_grams_hit, 0) AS BIGINT) AS n_grams_hit,
+          |  CAST(coalesce(h.n_docs, 0) AS BIGINT) AS n_docs
+          |FROM bgr LEFT JOIN h ON bgr.bench_id = h.bench_id
+          |ORDER BY bench_id""".stripMargin,
       // identical semantics to q55 through the semi-join tier: same oracle
       "q57_decontaminate_join" ->
         """WITH d AS (

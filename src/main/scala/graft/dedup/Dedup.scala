@@ -867,6 +867,48 @@ object Dedup {
           .otherwise(F.coalesce(F.col("__ct"), F.lit(""))).as("clean_text"))
   }
 
+  /** Per-benchmark-item contamination REPORT — the audit that runs
+    * before (or instead of) the `decontaminate` drop: for every
+    * benchmark row, how many of its word `w`-grams occur anywhere in the
+    * corpus and how many DISTINCT corpus documents share at least one of
+    * them. `decontaminate` answers "drop the contaminated docs"; this
+    * answers "which benchmark items are burned, and how badly" — the
+    * eval-integrity table an org actually reviews before trusting a
+    * score. Gram convention matches `decontaminate`'s shingles (full
+    * `w`-grams; shorter texts contribute their whole text as one gram).
+    *
+    * Shape: both sides project to distinct (id, gram) pairs — the gram
+    * sets dedup IN-ROW (array_distinct) before exploding, so the join
+    * never sees within-text repeats; ONE gram-keyed join (the benchmark
+    * side is tiny and broadcasts at real scale) and one two-way
+    * count-distinct per item. Grams compare as exact strings (the
+    * `decontaminate` stance). Integer counts — oracle-exact (q86). */
+  def contaminationReport(docs: DataFrame, textCol: String, idCol: String,
+                          bench: DataFrame, benchTextCol: String,
+                          benchIdCol: String, w: Int = 8): DataFrame = {
+    require(w >= 1, s"gram width w must be >= 1, got $w")
+    def gramsOf(c: Column): Column = {
+      val ws = F.filter(F.split(F.lower(c), "\\s+"), x => x =!= "")
+      F.when(F.size(ws) >= w,
+        F.array_distinct(F.transform(F.sequence(F.lit(0), F.size(ws) - w),
+          i => F.array_join(F.slice(ws, i + 1, F.lit(w)), " "))))
+        .when(F.size(ws) >= 1, F.array(F.array_join(ws, " ")))
+        .otherwise(F.array().cast("array<string>"))
+    }
+    val dg = docs.select(F.col(idCol).as("__did"),
+      F.explode(gramsOf(F.col(textCol))).as("__g"))
+    val withGrams = bench.withColumn("__bgs", gramsOf(F.col(benchTextCol)))
+    val exploded = withGrams.select(F.col(benchIdCol), F.explode(F.col("__bgs")).as("__g"))
+    val hits = exploded.join(dg, Seq("__g"))
+      .groupBy(benchIdCol)
+      .agg(F.countDistinct("__did").as("__nd"), F.countDistinct("__g").as("__ng"))
+    withGrams.select(F.col(benchIdCol), F.size(F.col("__bgs")).cast("long").as("n_grams"))
+      .join(hits, Seq(benchIdCol), "left")
+      .select(F.col(benchIdCol), F.col("n_grams"),
+        F.coalesce(F.col("__ng"), F.lit(0L)).as("n_grams_hit"),
+        F.coalesce(F.col("__nd"), F.lit(0L)).as("n_docs"))
+  }
+
   def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame,
                          textCol: String, idCol: String,
                          w: Int = 3, k: Int = 32, bands: Int = 16,

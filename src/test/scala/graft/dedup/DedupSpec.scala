@@ -495,6 +495,28 @@ class DedupSpec extends AnyFunSuite {
     assert(out(6L) == ((12L, 12L, "i j k l m n o p q unique tail words")))
   }
 
+  test("contaminationReport: per-item gram totals, hits, distinct docs, short-text convention") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),              // grams a..h, b..i, c..j
+      (2L, "z z a b c d e f g h"),              // contains a..h
+      (3L, "unrelated words here nothing to see move along now ok"),
+      (4L, "hi there")                          // under w: whole text is ONE gram
+    ).toDF("id", "text")
+    val bench = Seq(
+      (100L, "a b c d e f g h"),   // 1 gram, hit by docs 1 and 2
+      (101L, "q r s t u v w x"),   // 1 gram, clean
+      (102L, "a b c d e f g h i"), // 2 grams: a..h (docs 1,2), b..i (doc 1)
+      (103L, "hi there")           // whole-text gram, hit by doc 4 only
+    ).toDF("bid", "btext")
+    val out = Dedup.contaminationReport(docs, "text", "id", bench, "btext", "bid", w = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(100L) == ((1L, 1L, 2L)))
+    assert(out(101L) == ((1L, 0L, 0L)), "clean items keep a zero row")
+    assert(out(102L) == ((2L, 2L, 2L)), "n_docs counts DISTINCT docs across grams")
+    assert(out(103L) == ((1L, 1L, 1L)), "short texts match on the whole-text gram")
+  }
+
   test("dedupAgainstCorpus: exact and near batch dups drop, novel rows keep (even batch-internal twins)") {
     import spark.implicits._
     val corpus = base.toDF("id", "text")
