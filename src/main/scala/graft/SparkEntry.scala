@@ -566,6 +566,22 @@ object SparkEntry {
         .orderBy("bench_id")
     }),
 
+    // SPLIT-LEAKAGE audit: the q11 deterministic train/val split, then
+    // the q86 contamination report with the VAL side as the "benchmark"
+    // — per val doc, how many of its 8-grams appear in train and how
+    // many train docs share one. The hygiene check run before trusting
+    // a held-out metric; the corpus's natural dup spans leak.
+    "q87_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = md5Bucket(col("doc_id"), 100)
+      val train = docs.filter(bucket >= 20)
+      val valD = docs.filter(bucket < 20)
+        .select(col("doc_id").as("val_id"), col("text"))
+      graft.dedup.Dedup.contaminationReport(train, "text", "doc_id",
+          valD, "text", "val_id", w = 8)
+        .orderBy("val_id")
+    }),
+
     // the SAME decontamination semantics through the any-size SEMI-JOIN
     // tier (shuffled shingle hashes instead of a broadcast set — the path
     // for benchmark sides too large to broadcast); one oracle, two
@@ -725,6 +741,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("n_kept"),
           md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")
+    }),
+
+    // IMAGE near-dup pairs: dHash perceptual fingerprints over REAL
+    // JDK-decoded PNGs (200 deterministic pseudo-random images + 20
+    // noisy copies of every 10th), paired by the shared 16-bit-band +
+    // Hamming engine. Deterministic end-to-end, so the oracle is the
+    // pinned literal output (the q20 stance — no PNG codec in SQL);
+    // perceptual semantics are spec-gated in MultimodalSpec.
+    "q88_image_dup_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val originals = s.range(0, 200).map(i => graft.mm.Multimodal.synthNoisePng(i))
+      val dups = s.range(0, 20).map(i =>
+        graft.mm.Multimodal.synthNoisePng(1000L + i, baseId = i * 10, noisePixels = 5))
+      graft.mm.Multimodal.imageDupPairs(s, originals.union(dups), maxHamming = 8)
+        .orderBy("id_a", "id_b")
     }),
 
     // distinct-count EXACT tier (the q78 gate; the HLL sketch +
@@ -1845,6 +1876,7 @@ object SparkEntry {
       // literal table. Semantic gates (near-dup recall, hot-bucket cap) are
       // spec-tested in DedupSpec.
       "q20_simhash_dups" -> q20LiteralOracleSql,
+      "q88_image_dup_pairs" -> q88LiteralOracleSql,
       // LSH ANN restated in SQL: the seeded hyperplanes are inlined as
       // double literals, the signature/probe/rank pipeline recomputed by
       // DuckDB (real semantic oracle, not a pinned output).
@@ -2156,6 +2188,33 @@ object SparkEntry {
           |  CAST(coalesce(h.n_docs, 0) AS BIGINT) AS n_docs
           |FROM bgr LEFT JOIN h ON bgr.bench_id = h.bench_id
           |ORDER BY bench_id""".stripMargin,
+      // split-leakage audit: q11's md5 split + q86's report machinery,
+      // val grams vs train grams
+      "q87_split_leakage" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, $md5bucket AS bkt,
+           |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+           |  FROM documents),
+           |g0 AS (SELECT doc_id, bkt,
+           |    CASE WHEN len(ws) >= 8 THEN
+           |        list_distinct(list_transform(generate_series(1, len(ws) - 7),
+           |          i -> array_to_string(ws[i:i+7], ' ')))
+           |      WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
+           |      ELSE [] END AS gs
+           |  FROM d),
+           |tg AS (SELECT DISTINCT doc_id, g FROM (
+           |  SELECT doc_id, unnest(gs) AS g FROM g0 WHERE bkt >= 20)),
+           |v0 AS (SELECT doc_id AS val_id, gs FROM g0 WHERE bkt < 20),
+           |vg AS (SELECT val_id, unnest(gs) AS g FROM v0),
+           |h AS (SELECT vg.val_id,
+           |        CAST(count(DISTINCT tg.doc_id) AS BIGINT) AS n_docs,
+           |        CAST(count(DISTINCT vg.g) AS BIGINT) AS n_grams_hit
+           |      FROM vg JOIN tg ON vg.g = tg.g GROUP BY 1)
+           |SELECT v0.val_id AS val_id, CAST(len(v0.gs) AS BIGINT) AS n_grams,
+           |  CAST(coalesce(h.n_grams_hit, 0) AS BIGINT) AS n_grams_hit,
+           |  CAST(coalesce(h.n_docs, 0) AS BIGINT) AS n_docs
+           |FROM v0 LEFT JOIN h ON v0.val_id = h.val_id
+           |ORDER BY val_id""".stripMargin,
       // identical semantics to q55 through the semi-join tier: same oracle
       "q57_decontaminate_join" ->
         """WITH d AS (
@@ -2777,6 +2836,23 @@ object SparkEntry {
        |  AND cl IN (SELECT p1 FROM pr UNION ALL SELECT p2 FROM pr)
        |ORDER BY list_cosine_similarity(v, (SELECT qv FROM pr)) DESC, vec_id
        |LIMIT $k""".stripMargin
+  }
+
+  /** q88's deterministic output pinned as a literal table (no PNG codec
+    * exists in SQL; the images are synthesized in-query, so unlike q20
+    * this oracle is scale-independent). Exactly the 20 planted
+    * noisy-copy pairs, zero false positives; perceptual semantics are
+    * spec-gated in MultimodalSpec. */
+  private def q88LiteralOracleSql: String = {
+    val rows =
+      "(0,1000,0),(10,1001,0),(20,1002,1),(30,1003,0),(40,1004,0),(50,1005,0)," +
+      "(60,1006,0),(70,1007,1),(80,1008,0),(90,1009,0),(100,1010,0),(110,1011,0)," +
+      "(120,1012,0),(130,1013,0),(140,1014,0),(150,1015,0),(160,1016,1),(170,1017,0)," +
+      "(180,1018,0),(190,1019,0)"
+    s"""SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       | CAST(hamming AS INTEGER) AS hamming
+       |FROM (VALUES $rows) AS t(id_a, id_b, hamming)
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** q20's deterministic sf0.01 output pinned as a literal table (the

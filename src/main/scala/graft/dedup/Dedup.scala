@@ -610,25 +610,39 @@ object Dedup {
     * quadratic. Buckets are capped at `maxBucket` rows, with the dropped
     * count published via an observe metric. */
   def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val withSig = withSimhash(df.select(F.col(idCol), F.col(textCol)), textCol)
-    val banded = withSig.select(F.col(idCol), F.col("simhash"),
+                      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    hammingDupPairsOf(
+      withSimhash(df.select(F.col(idCol), F.col(textCol)), textCol),
+      "simhash", idCol, maxHamming, maxBucket, capMetric = "simhash_caps")
+
+  /** Generic near-dup pairs over ANY 64-bit locality-sensitive hash
+    * column (simhash of text, dHash of an image, ...): identical 16-bit
+    * band ⇒ candidate, verified by Hamming distance <= `maxHamming`.
+    * The banding/cap/verify engine `simhashDupPairs` runs — factored so
+    * every 64-bit fingerprint family (text, image, audio) shares one
+    * audited exchange shape: only (id, hash, band, bucket) rows ever
+    * shuffle, hot buckets are capped with the dropped count published
+    * via the `capMetric` observe metric. */
+  def hammingDupPairsOf(df: DataFrame, hashCol: String, idCol: String,
+                        maxHamming: Int, maxBucket: Int = 1000,
+                        capMetric: String = "hamming_caps"): DataFrame = {
+    val banded = df.select(F.col(idCol), F.col(hashCol),
       F.posexplode(F.array((0 until 4).map(i =>
-        F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xffffL))): _*))
+        F.shiftrightunsigned(F.col(hashCol), i * 16).bitwiseAND(F.lit(0xffffL))): _*))
         .as(Seq("band", "bucket")))
     val wB = Window.partitionBy("band", "bucket").orderBy(F.col(idCol))
     val capped = banded.withColumn("__bn", F.row_number().over(wB))
-      .observe("simhash_caps",
+      .observe(capMetric,
         F.sum((F.col("__bn") > maxBucket).cast("long")).as("capped_rows"))
       .filter(F.col("__bn") <= maxBucket).drop("__bn")
     val a = capped.select(F.col("band"), F.col("bucket"),
-      F.col(idCol).as("id_a"), F.col("simhash").as("sim_a"))
+      F.col(idCol).as("id_a"), F.col(hashCol).as("__h_a"))
     val b = capped.select(F.col("band"), F.col("bucket"),
-      F.col(idCol).as("id_b"), F.col("simhash").as("sim_b"))
+      F.col(idCol).as("id_b"), F.col(hashCol).as("__h_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(F.col("id_a") < F.col("id_b"))
       .select(F.col("id_a"), F.col("id_b"),
-        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).as("hamming"))
+        F.bit_count(F.col("__h_a").bitwiseXOR(F.col("__h_b"))).as("hamming"))
       .distinct()
       .filter(F.col("hamming") <= maxHamming)
   }

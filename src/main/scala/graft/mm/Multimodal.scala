@@ -272,6 +272,92 @@ object Multimodal {
     spark.range(0, n).map(i => synthPng(i.toLong))
   }
 
+  /** 64-bit difference-hash (dHash) perceptual image fingerprint: REAL
+    * decode, bilinear resize to 9x8 grayscale, one bit per horizontal
+    * neighbor pair (set when the left pixel is darker). Re-encodes,
+    * mild noise, and small edits keep most gradient signs, so
+    * near-identical images land within a few bits — the image-side
+    * analogue of text simhash. 0L for undecodable payloads (callers
+    * filter on `sniffFormat`/decode validity upstream). */
+  def dHash(p: Array[Byte]): Long = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      catch { case _: Exception => null }
+    if (img == null) return 0L
+    val out = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 9, 8, null)
+    } finally g.dispose()
+    val r = out.getRaster
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (r.getSample(x, y, 0) < r.getSample(x + 1, y, 0))
+          bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Deterministic pseudo-random grayscale PNG (pixel = mix64(x, y, id))
+    * — unlike `synthPng`'s linear gradient (whose horizontal differences
+    * are CONSTANT, so every gradient image shares one dHash), these have
+    * id-specific gradient signs: distinct ids land far apart in Hamming
+    * space, which is what a perceptual-dup spec needs. `noisePixels`
+    * flips that many pixels to a shifted value — a "same image, tiny
+    * edit" near-duplicate. */
+  def synthNoisePng(id: Long, baseId: Long = -1L, noisePixels: Int = 0): MediaBlob = {
+    val src = if (baseId >= 0) baseId else id
+    val w = 32
+    val h = 32
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (graft.dedup.Dedup.mix64(src * 10007L + y * 101L + x) & 0xffL).toInt
+        raster.setSample(x, y, 0, v)
+        x += 1
+      }
+      y += 1
+    }
+    var k = 0
+    while (k < noisePixels) {
+      val px = (math.abs(graft.dedup.Dedup.mix64(id * 31L + k)) % (w * h)).toInt
+      val old = raster.getSample(px % w, px / w, 0)
+      raster.setSample(px % w, px / w, 0, (old + 40) % 256)
+      k += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    MediaBlob(id, "image", bos.toByteArray)
+  }
+
+  /** Image near-duplicate pairs: dHash per blob (one mapPartitions over
+    * the binary column — the only stage that touches image bytes), then
+    * the shared 16-bit-band + capped-bucket + Hamming-verify engine
+    * (`Dedup.hammingDupPairsOf`). Only (id, hash) rows ever shuffle;
+    * at 100 TB the image bytes stay in their scan stage. */
+  def imageDupPairs(spark: SparkSession, blobs: Dataset[MediaBlob],
+                    maxHamming: Int = 8, maxBucket: Int = 1000)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val hashed = blobs.mapPartitions(_.map(b => (b.media_id, dHash(b.payload))))
+      .toDF("media_id", "dhash")
+    graft.dedup.Dedup.hammingDupPairsOf(hashed, "dhash", "media_id",
+      maxHamming, maxBucket, capMetric = "dhash_caps")
+  }
+
   /** Batched REAL decode — same mapPartitions shape as `decodeAll` so a
     * heavier codec could amortize per-partition init. */
   def decodeImages(spark: SparkSession, blobs: Dataset[MediaBlob]): Dataset[ImageMeta] = {

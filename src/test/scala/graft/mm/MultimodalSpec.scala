@@ -125,4 +125,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e1.forall(_.embedding.length == 16))
     assert(e1.zip(e2).forall { case (a, b) => a.embedding.sameElements(b.embedding) })
   }
+
+  test("dHash: stable under re-encode, close under small edits, far across images") {
+    val a = Multimodal.synthNoisePng(1L)
+    val aAgain = Multimodal.synthNoisePng(1L)
+    assert(Multimodal.dHash(a.payload) == Multimodal.dHash(aAgain.payload),
+      "deterministic decode -> deterministic hash")
+    // a re-encode through thumbnail at full size (decode -> RGB -> PNG)
+    // must keep the gradient structure
+    val reenc = Multimodal.thumbnail(a.payload, 32, 32)
+    assert(java.lang.Long.bitCount(
+      Multimodal.dHash(a.payload) ^ Multimodal.dHash(reenc)) <= 8)
+    // 6 flipped pixels of 1024: most 9x8 cells untouched
+    val noisy = Multimodal.synthNoisePng(900L, baseId = 1L, noisePixels = 6)
+    assert(java.lang.Long.bitCount(
+      Multimodal.dHash(a.payload) ^ Multimodal.dHash(noisy.payload)) <= 8,
+      "a tiny edit stays within the near-dup radius")
+    // distinct pseudo-random images: ~32 bits differ
+    val other = Multimodal.synthNoisePng(2L)
+    assert(java.lang.Long.bitCount(
+      Multimodal.dHash(a.payload) ^ Multimodal.dHash(other.payload)) > 16,
+      "unrelated images are far in Hamming space")
+    assert(Multimodal.dHash(Array[Byte](1, 2, 3)) == 0L, "undecodable -> 0")
+  }
+
+  test("imageDupPairs: planted near-identical images pair up, unrelated do not") {
+    import spark.implicits._
+    // 40 distinct images; ids 100..107 are noisy copies of ids 0..7
+    val originals = (0L until 40L).map(i => Multimodal.synthNoisePng(i))
+    val dups = (0L until 8L).map(i =>
+      Multimodal.synthNoisePng(100L + i, baseId = i, noisePixels = 5))
+    val blobs = spark.createDataset(originals ++ dups)
+    val pairs = Multimodal.imageDupPairs(spark, blobs, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 8L).foreach { i =>
+      assert(pairs.contains((i, 100L + i)), s"planted pair ($i, ${100 + i}) missing")
+    }
+    assert(pairs.forall { case (a, b) => b - a == 100L },
+      s"no unrelated image may pair: ${pairs.filterNot { case (a, b) => b - a == 100L }}")
+  }
 }
