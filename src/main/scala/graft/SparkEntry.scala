@@ -758,6 +758,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // AUDIO near-dup pairs: bucket-energy fingerprints over REAL WAV
+    // decode (100 deterministic clips + 10 damaged copies of every
+    // 10th), the same banding/Hamming engine and literal-oracle stance
+    // as q88 — the third modality of the dedup family.
+    "q89_audio_dup_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val originals = s.range(0, 100).map(i => graft.mm.Multimodal.synthNoiseWav(i))
+      val dups = s.range(0, 10).map(i =>
+        graft.mm.Multimodal.synthNoiseWav(1000L + i, baseId = i * 10, noiseSamples = 10))
+      graft.mm.Multimodal.audioDupPairs(s, originals.union(dups), maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // distinct-count EXACT tier (the q78 gate; the HLL sketch +
     // mergeable-sketch tiers are the 100 TB path, spec-asserted within
     // rsd and union==single-pass in CardinalitySpec)
@@ -1877,6 +1890,7 @@ object SparkEntry {
       // spec-tested in DedupSpec.
       "q20_simhash_dups" -> q20LiteralOracleSql,
       "q88_image_dup_pairs" -> q88LiteralOracleSql,
+      "q89_audio_dup_pairs" -> q89LiteralOracleSql,
       // LSH ANN restated in SQL: the seeded hyperplanes are inlined as
       // double literals, the signature/probe/rank pipeline recomputed by
       // DuckDB (real semantic oracle, not a pinned output).
@@ -2849,6 +2863,18 @@ object SparkEntry {
       "(60,1006,0),(70,1007,1),(80,1008,0),(90,1009,0),(100,1010,0),(110,1011,0)," +
       "(120,1012,0),(130,1013,0),(140,1014,0),(150,1015,0),(160,1016,1),(170,1017,0)," +
       "(180,1018,0),(190,1019,0)"
+    s"""SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       | CAST(hamming AS INTEGER) AS hamming
+       |FROM (VALUES $rows) AS t(id_a, id_b, hamming)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q89's deterministic output pinned as a literal table (the q88
+    * stance — SQL has no WAV codec; scale-independent in-query synth). */
+  private def q89LiteralOracleSql: String = {
+    val rows =
+      "(0,1000,0),(10,1001,0),(20,1002,0),(30,1003,0),(40,1004,0),(50,1005,0)," +
+      "(60,1006,0),(70,1007,0),(80,1008,0),(90,1009,0)"
     s"""SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        | CAST(hamming AS INTEGER) AS hamming
        |FROM (VALUES $rows) AS t(id_a, id_b, hamming)

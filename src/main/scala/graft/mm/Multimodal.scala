@@ -343,6 +343,88 @@ object Multimodal {
     MediaBlob(id, "image", bos.toByteArray)
   }
 
+  /** 64-bit audio perceptual fingerprint (the dHash idea in time): REAL
+    * WAV decode, mean |amplitude| over 65 equal time buckets, one bit
+    * per consecutive-bucket energy comparison. Re-encodes and sparse
+    * sample corruption barely move bucket means, so near-identical
+    * clips land within a few bits; 0L for undecodable payloads. */
+  def audioHash(p: Array[Byte]): Long = {
+    val pcm =
+      try {
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(p))
+        try ais.readAllBytes() finally ais.close()
+      } catch { case _: Exception => return 0L }
+    val n = pcm.length / 2 // 16-bit PCM samples (frame layout of synthWav)
+    if (n < 65) return 0L
+    val energy = new Array[Double](65)
+    var b = 0
+    while (b < 65) {
+      val from = (b.toLong * n / 65).toInt
+      val to = ((b + 1).toLong * n / 65).toInt
+      var s = 0L
+      var i = from
+      while (i < to) {
+        val v = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort
+        s += math.abs(v.toInt)
+        i += 1
+      }
+      energy(b) = if (to > from) s.toDouble / (to - from) else 0.0
+      b += 1
+    }
+    var bits = 0L
+    var k = 0
+    while (k < 64) {
+      if (energy(k) < energy(k + 1)) bits |= 1L << k
+      k += 1
+    }
+    bits
+  }
+
+  /** Deterministic pseudo-random WAV (samples = mix64(id, i)) — unlike
+    * `synthWav`'s short-period sawtooth (whose bucket energies converge
+    * to one value for every id, collapsing all audio hashes), these give
+    * id-specific energy profiles. `noiseSamples` corrupts that many
+    * samples — a "same clip, light damage" near-duplicate. */
+  def synthNoiseWav(id: Long, baseId: Long = -1L, noiseSamples: Int = 0): MediaBlob = {
+    val src = if (baseId >= 0) baseId else id
+    val nFrames = 4000
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v = (graft.dedup.Dedup.mix64(src * 7919L + i) & 0x3fffL).toShort
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    var k = 0
+    while (k < noiseSamples) {
+      val pos = (math.abs(graft.dedup.Dedup.mix64(id * 131L + k)) % nFrames).toInt
+      data(2 * pos) = (~data(2 * pos)).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    MediaBlob(id, "audio", bos.toByteArray)
+  }
+
+  /** Audio near-duplicate pairs — `imageDupPairs` for the audio column:
+    * one mapPartitions computes fingerprints, then the shared banding +
+    * Hamming engine. Only (id, hash) rows shuffle. */
+  def audioDupPairs(spark: SparkSession, blobs: Dataset[MediaBlob],
+                    maxHamming: Int = 8, maxBucket: Int = 1000)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val hashed = blobs.mapPartitions(_.map(b => (b.media_id, audioHash(b.payload))))
+      .toDF("media_id", "ahash")
+    graft.dedup.Dedup.hammingDupPairsOf(hashed, "ahash", "media_id",
+      maxHamming, maxBucket, capMetric = "ahash_caps")
+  }
+
   /** Image near-duplicate pairs: dHash per blob (one mapPartitions over
     * the binary column — the only stage that touches image bytes), then
     * the shared 16-bit-band + capped-bucket + Hamming-verify engine

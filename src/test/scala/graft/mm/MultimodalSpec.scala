@@ -149,6 +149,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.dHash(Array[Byte](1, 2, 3)) == 0L, "undecodable -> 0")
   }
 
+  test("audioHash: stable on identical clips, close under sparse damage, far across clips") {
+    val a = Multimodal.synthNoiseWav(1L)
+    assert(Multimodal.audioHash(a.payload) ==
+      Multimodal.audioHash(Multimodal.synthNoiseWav(1L).payload))
+    val damaged = Multimodal.synthNoiseWav(900L, baseId = 1L, noiseSamples = 10)
+    assert(java.lang.Long.bitCount(Multimodal.audioHash(a.payload)
+      ^ Multimodal.audioHash(damaged.payload)) <= 8,
+      "10 corrupted samples of 4000 stay within the near-dup radius")
+    val other = Multimodal.synthNoiseWav(2L)
+    assert(java.lang.Long.bitCount(Multimodal.audioHash(a.payload)
+      ^ Multimodal.audioHash(other.payload)) > 16,
+      "unrelated clips are far in Hamming space")
+    assert(Multimodal.audioHash(Array[Byte](9, 9, 9)) == 0L, "undecodable -> 0")
+  }
+
+  test("audioDupPairs: planted damaged copies pair up, unrelated do not") {
+    import spark.implicits._
+    val originals = (0L until 30L).map(i => Multimodal.synthNoiseWav(i))
+    val dups = (0L until 6L).map(i =>
+      Multimodal.synthNoiseWav(100L + i, baseId = i * 5, noiseSamples = 10))
+    val pairs = Multimodal.audioDupPairs(spark, spark.createDataset(originals ++ dups),
+        maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 6L).foreach { i =>
+      assert(pairs.contains((i * 5, 100L + i)), s"planted pair (${i * 5}, ${100 + i}) missing")
+    }
+    assert(pairs.forall { case (a, b) => b >= 100L && a == (b - 100L) * 5L },
+      s"no unrelated clip may pair: $pairs")
+  }
+
   test("imageDupPairs: planted near-identical images pair up, unrelated do not") {
     import spark.implicits._
     // 40 distinct images; ids 100..107 are noisy copies of ids 0..7
