@@ -771,6 +771,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // VIDEO near-dup pairs (GIF container — the q54 stance): per-frame
+    // dHash combined by per-bit frame majority, the same engine and
+    // literal-oracle stance as q88/q89 — the dedup family's fourth and
+    // final modality.
+    "q90_video_dup_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val originals = s.range(0, 60).map(i => graft.mm.Multimodal.synthNoiseGif(i))
+      val dups = s.range(0, 6).map(i =>
+        graft.mm.Multimodal.synthNoiseGif(1000L + i, baseId = i * 10, noisePixels = 6))
+      graft.mm.Multimodal.videoDupPairs(s, originals.union(dups), maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // distinct-count EXACT tier (the q78 gate; the HLL sketch +
     // mergeable-sketch tiers are the 100 TB path, spec-asserted within
     // rsd and union==single-pass in CardinalitySpec)
@@ -1891,6 +1904,7 @@ object SparkEntry {
       "q20_simhash_dups" -> q20LiteralOracleSql,
       "q88_image_dup_pairs" -> q88LiteralOracleSql,
       "q89_audio_dup_pairs" -> q89LiteralOracleSql,
+      "q90_video_dup_pairs" -> q90LiteralOracleSql,
       // LSH ANN restated in SQL: the seeded hyperplanes are inlined as
       // double literals, the signature/probe/rank pipeline recomputed by
       // DuckDB (real semantic oracle, not a pinned output).
@@ -2875,6 +2889,16 @@ object SparkEntry {
     val rows =
       "(0,1000,0),(10,1001,0),(20,1002,0),(30,1003,0),(40,1004,0),(50,1005,0)," +
       "(60,1006,0),(70,1007,0),(80,1008,0),(90,1009,0)"
+    s"""SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       | CAST(hamming AS INTEGER) AS hamming
+       |FROM (VALUES $rows) AS t(id_a, id_b, hamming)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q90's deterministic output pinned as a literal table (the q88
+    * stance — SQL has no GIF codec; scale-independent in-query synth). */
+  private def q90LiteralOracleSql: String = {
+    val rows = "(0,1000,1),(10,1001,0),(20,1002,2),(30,1003,0),(40,1004,1),(50,1005,0)"
     s"""SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        | CAST(hamming AS INTEGER) AS hamming
        |FROM (VALUES $rows) AS t(id_a, id_b, hamming)

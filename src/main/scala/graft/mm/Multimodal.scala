@@ -283,7 +283,12 @@ object Multimodal {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
       catch { case _: Exception => null }
-    if (img == null) return 0L
+    if (img == null) 0L else dHashOf(img)
+  }
+
+  /** The dHash kernel over an already-decoded frame (shared by the image
+    * and video fingerprints). */
+  private def dHashOf(img: java.awt.image.BufferedImage): Long = {
     val out = new java.awt.image.BufferedImage(9, 8,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val g = out.createGraphics()
@@ -546,6 +551,106 @@ object Multimodal {
   def synthGifs(spark: SparkSession, n: Long): Dataset[MediaBlob] = {
     import spark.implicits._
     spark.range(0, n).map(i => synthGif(i.toLong))
+  }
+
+  /** 64-bit video perceptual fingerprint over an animated container:
+    * per-frame dHash (the shared 9x8 gradient-sign kernel), combined by
+    * per-bit MAJORITY across frames — robust to a damaged or extra frame
+    * where a single-frame hash is not, yet still frame-order-free (a
+    * re-encode that re-times frames keeps the majority). GIF is the one
+    * animated format the JDK decodes (the q54 stance — H.264 stays
+    * environment-blocked); 0L for undecodable payloads. */
+  def videoHash(p: Array[Byte]): Long = {
+    if (p == null) return 0L
+    var iis: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(p))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return 0L
+      reader = readers.next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      if (n == 0) return 0L
+      val ones = new Array[Int](64)
+      var f = 0
+      while (f < n) {
+        val h = dHashOf(reader.read(f))
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) ones(b) += 1; b += 1 }
+        f += 1
+      }
+      var bits = 0L
+      var b = 0
+      while (b < 64) { if (2 * ones(b) > n) bits |= 1L << b; b += 1 }
+      bits
+    } catch { case _: Exception => 0L }
+    finally {
+      if (reader != null) reader.dispose()
+      if (iis != null) iis.close()
+    }
+  }
+
+  /** Deterministic pseudo-random animated GIF (4 frames of 32x32,
+    * pixel = mix64(baseId, frame, y, x)) — the `synthNoisePng` stance:
+    * `synthGif`'s linear gradient collapses every clip to one dHash.
+    * `noisePixels` corrupts that many pixels PER FRAME. */
+  def synthNoiseGif(id: Long, baseId: Long = -1L, noisePixels: Int = 0): MediaBlob = {
+    val src = if (baseId >= 0) baseId else id
+    val w = 32
+    val h = 32
+    val nFrames = 4
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (graft.dedup.Dedup.mix64(
+              src * 104729L + f * 4099L + y * 101L + x) & 0xffL).toInt
+            raster.setSample(x, y, 0, v)
+            x += 1
+          }
+          y += 1
+        }
+        var k = 0
+        while (k < noisePixels) {
+          val px = (math.abs(graft.dedup.Dedup.mix64(id * 193L + f * 17L + k)) % (w * h)).toInt
+          val old = raster.getSample(px % w, px / w, 0)
+          raster.setSample(px % w, px / w, 0, (old + 40) % 256)
+          k += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+          writer.getDefaultWriteParam)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    MediaBlob(id, "video", bos.toByteArray)
+  }
+
+  /** Video near-duplicate pairs — the fourth modality through the shared
+    * banding + Hamming engine. Only (id, hash) rows shuffle. */
+  def videoDupPairs(spark: SparkSession, blobs: Dataset[MediaBlob],
+                    maxHamming: Int = 8, maxBucket: Int = 1000)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val hashed = blobs.mapPartitions(_.map(b => (b.media_id, videoHash(b.payload))))
+      .toDF("media_id", "vhash")
+    graft.dedup.Dedup.hammingDupPairsOf(hashed, "vhash", "media_id",
+      maxHamming, maxBucket, capMetric = "vhash_caps")
   }
 
   def frameSampleAll(spark: SparkSession, blobs: Dataset[MediaBlob],

@@ -179,6 +179,35 @@ class MultimodalSpec extends AnyFunSuite {
       s"no unrelated clip may pair: $pairs")
   }
 
+  test("videoHash: frame-majority dHash — stable, damage-robust, far across clips") {
+    val a = Multimodal.synthNoiseGif(1L)
+    assert(Multimodal.videoHash(a.payload) ==
+      Multimodal.videoHash(Multimodal.synthNoiseGif(1L).payload))
+    val damaged = Multimodal.synthNoiseGif(900L, baseId = 1L, noisePixels = 6)
+    assert(java.lang.Long.bitCount(Multimodal.videoHash(a.payload)
+      ^ Multimodal.videoHash(damaged.payload)) <= 8,
+      "per-frame noise must not break the frame-majority bits")
+    val other = Multimodal.synthNoiseGif(2L)
+    assert(java.lang.Long.bitCount(Multimodal.videoHash(a.payload)
+      ^ Multimodal.videoHash(other.payload)) > 16)
+    assert(Multimodal.videoHash(Array[Byte](7, 7)) == 0L, "undecodable -> 0")
+  }
+
+  test("videoDupPairs: planted noisy clip copies pair up, unrelated do not") {
+    import spark.implicits._
+    val originals = (0L until 30L).map(i => Multimodal.synthNoiseGif(i))
+    val dups = (0L until 6L).map(i =>
+      Multimodal.synthNoiseGif(100L + i, baseId = i * 5, noisePixels = 6))
+    val pairs = Multimodal.videoDupPairs(spark, spark.createDataset(originals ++ dups),
+        maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 6L).foreach { i =>
+      assert(pairs.contains((i * 5, 100L + i)), s"planted pair (${i * 5}, ${100 + i}) missing")
+    }
+    assert(pairs.forall { case (a, b) => b >= 100L && a == (b - 100L) * 5L },
+      s"no unrelated clip may pair: $pairs")
+  }
+
   test("imageDupPairs: planted near-identical images pair up, unrelated do not") {
     import spark.implicits._
     // 40 distinct images; ids 100..107 are noisy copies of ids 0..7
