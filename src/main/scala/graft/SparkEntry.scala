@@ -784,6 +784,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // SLIDING-window chunking with overlap (width 40, stride 30 — the
+    // RAG/long-context layout, within-doc counterpart of q56's
+    // cross-doc packing): in-row windows, one posexplode, zero
+    // shuffles; md5 byte parity per chunk.
+    "q91_chunk_sliding" -> ((s, dir) =>
+      graft.etl.Packing.chunkSliding(t(s, dir, "documents"), "text", "doc_id",
+          width = 40, stride = 30)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // distinct-count EXACT tier (the q78 gate; the HLL sketch +
     // mergeable-sketch tiers are the 100 TB path, spec-asserted within
     // rsd and union==single-pass in CardinalitySpec)
@@ -2475,6 +2486,24 @@ object SparkEntry {
           |    ELSE coalesce(k.ct, '') END) AS clean_md5
           |FROM base LEFT JOIN k ON base.doc_id = k.doc_id
           |ORDER BY base.doc_id""".stripMargin,
+      // sliding chunk layout: chunk count closed form, 1-based inclusive
+      // list slices (40 elements per window, tail clamps), md5 parity
+      "q91_chunk_sliding" ->
+        """WITH b AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+          |  FROM documents),
+          |n AS (SELECT doc_id, ws, len(ws) AS n FROM b WHERE len(ws) > 0),
+          |c AS (SELECT doc_id, ws, n,
+          |        CASE WHEN n <= 40 THEN 1
+          |          ELSE CAST(ceil(CAST(n - 40 AS DOUBLE) / 30) AS INTEGER) + 1 END AS nc
+          |      FROM n),
+          |e AS (SELECT doc_id, ws, unnest(generate_series(0, nc - 1)) AS k FROM c),
+          |ch AS (SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+          |        ws[k*30 + 1 : k*30 + 40] AS chunk FROM e)
+          |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+          |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
       // exact tier of the dual-tier cardinality (sketch tier spec-gated)
       "q78_cardinality" ->
         """SELECT lang, CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct

@@ -47,4 +47,34 @@ class PackingSpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("chunkSliding: overlap layout, tail window, single-chunk and empty docs, no shuffle") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "a b c"),                          // <= width: one whole chunk
+      (3L, ""), (4L, "   "),                  // zero tokens: no chunks
+      (5L, (0 until 13).map("w" + _).mkString(" ")) // 13: starts 0,3,6,9 (9+4 reaches 13)
+    ).toDF("id", "text")
+    val out = Packing.chunkSliding(docs, "text", "id", width = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    // doc 1: starts 0,3,6 -> last window [6,10) exactly reaches the tail
+    assert(out((1L, 0)) == ((4L, "t0 t1 t2 t3")))
+    assert(out((1L, 1)) == ((4L, "t3 t4 t5 t6")), "stride 3 < width 4 overlaps by one")
+    assert(out((1L, 2)) == ((4L, "t6 t7 t8 t9")))
+    assert(!out.contains((1L, 3)), "no degenerate tail chunk after a window reaches the end")
+    assert(out((2L, 0)) == ((3L, "a b c")))
+    assert(!out.keySet.exists(_._1 == 3L) && !out.keySet.exists(_._1 == 4L))
+    // doc 5: ceil((13-4)/3)+1 = 4 chunks; the last is the 4-token [9,13)
+    assert((0 to 3).forall(k => out.contains((5L, k))) && !out.contains((5L, 4)))
+    assert(out((5L, 3)) == ((4L, "w9 w10 w11 w12")))
+    // every token of doc 5 is covered at least once
+    val covered = (0 to 3).flatMap(k => out((5L, k))._2.split(" ")).toSet
+    assert(covered == (0 until 13).map("w" + _).toSet)
+    // narrow plan: no exchange anywhere
+    val plan = Packing.chunkSliding(docs, "text", "id", 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
 }
