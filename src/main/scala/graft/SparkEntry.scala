@@ -795,6 +795,22 @@ object SparkEntry {
           md5(col("chunk_text")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")),
 
+    // REAL BPE tokenizer end-to-end: 50 merge rules trained on the
+    // corpus's own word-frequency table (bounded collect — the
+    // published trainer shape), broadcast ranks, per-lang token totals.
+    // Deterministic tie-breaks make the merge table byte-stable, so the
+    // output pins as a literal oracle (sf-pinned: merges depend on the
+    // corpus); trainer/encoder semantics are golden-gated in BpeSpec.
+    "q92_bpe_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.train.Bpe.train(
+        graft.train.Bpe.wordFreqs(docs, "text", maxWords = 100000), numMerges = 50)
+      graft.train.Bpe.withTokenCounts(docs, "text", merges)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("bpe_tokens").as("bpe_tokens"))
+        .orderBy("lang")
+    }),
+
     // distinct-count EXACT tier (the q78 gate; the HLL sketch +
     // mergeable-sketch tiers are the 100 TB path, spec-asserted within
     // rsd and union==single-pass in CardinalitySpec)
@@ -1916,6 +1932,7 @@ object SparkEntry {
       "q88_image_dup_pairs" -> q88LiteralOracleSql,
       "q89_audio_dup_pairs" -> q89LiteralOracleSql,
       "q90_video_dup_pairs" -> q90LiteralOracleSql,
+      "q92_bpe_tokens" -> q92LiteralOracleSql,
       // LSH ANN restated in SQL: the seeded hyperplanes are inlined as
       // double literals, the signature/probe/rank pipeline recomputed by
       // DuckDB (real semantic oracle, not a pinned output).
@@ -2705,6 +2722,8 @@ object SparkEntry {
     "q51_drop_near_dups" -> "sf0.01",
     // literal VALUES pins of sf0.01 output (mix64 not expressible in DuckDB)
     "q20_simhash_dups" -> "sf0.01",
+    // BPE merges trained on the sf corpus itself -> counts are sf-specific
+    "q92_bpe_tokens" -> "sf0.01",
     "q30_mm_decode" -> "sf0.01",
     "q40_ngram_langid" -> "sf0.01",
     // nBits=4 keeps the DuckDB self-join tractable at sf0.01 only
@@ -2932,6 +2951,18 @@ object SparkEntry {
        | CAST(hamming AS INTEGER) AS hamming
        |FROM (VALUES $rows) AS t(id_a, id_b, hamming)
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q92's deterministic sf0.01 output pinned as a literal table (the
+    * BPE merge loop is a driver-side iterative algorithm no SQL restates;
+    * trainer/encoder goldens live in BpeSpec). */
+  private def q92LiteralOracleSql: String = {
+    val rows =
+      "('de',70,9788),('en',218,33206),('es',73,11161),('fr',64,10435),('zh',75,11619)"
+    s"""SELECT CAST(lang AS VARCHAR) AS lang, CAST(n AS BIGINT) AS n,
+       | CAST(bpe_tokens AS BIGINT) AS bpe_tokens
+       |FROM (VALUES $rows) AS t(lang, n, bpe_tokens)
+       |ORDER BY lang""".stripMargin
   }
 
   /** q20's deterministic sf0.01 output pinned as a literal table (the
