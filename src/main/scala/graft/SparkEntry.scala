@@ -1021,6 +1021,20 @@ object SparkEntry {
       graft.eval.F1.perClass(preds, "label", "pred").orderBy("cls")
     }),
 
+    // Metric STABILITY table: per-class F1 over 25 deterministic
+    // md5-selected half-subsamples of q27's corrupted predictions — the
+    // resampled confidence band an eval scorecard carries; no RNG, so
+    // the whole table is oracle-exact.
+    "q93_f1_stability" -> ((s, dir) => {
+      val preds = t(s, dir, "documents").select(
+        col("doc_id"),
+        col("lang").as("label"),
+        when(md5Bucket(col("doc_id"), 10) === 0, lit("en")).otherwise(col("lang")).as("pred"))
+      graft.eval.F1.resampledPerClass(preds, "label", "pred", col("doc_id"),
+          nResamples = 25)
+        .orderBy("b", "cls")
+    }),
+
     // §2.8 STREAMING under the driver gate: readStream over the events
     // table → watermarked 5-minute windowed counts → memory sink in
     // Complete mode (every window present at termination, so the batch
@@ -1801,6 +1815,38 @@ object SparkEntry {
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
       "q26_offset_limit" ->
         "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 50 OFFSET 100",
+      // q27's confusion arithmetic with an extra resample key: b-exploded
+      // rows, md5(key#b) half-subsample, per-(b, cls) counts, one
+      // division — left-assoc double arithmetic mirrors eval/F1.scala
+      "q93_f1_stability" -> {
+        val bucket10 =
+          "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10)"
+        val sel = "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || " +
+          "CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) % 2)"
+        s"""WITH p AS (
+           |  SELECT doc_id, lang AS label,
+           |    CASE WHEN $bucket10 = 0 THEN 'en' ELSE lang END AS pred
+           |  FROM documents),
+           |e AS (SELECT p.*, b FROM p
+           |      CROSS JOIN (SELECT unnest(generate_series(0, 24)) AS b)),
+           |s AS (SELECT * FROM e WHERE $sel = 0),
+           |cl AS (SELECT DISTINCT b, label AS cls FROM s
+           |       UNION SELECT DISTINCT b, pred FROM s),
+           |tpt AS (SELECT b, label AS cls, count(*) AS tp FROM s WHERE label = pred GROUP BY 1, 2),
+           |fpt AS (SELECT b, pred AS cls, count(*) AS fp FROM s WHERE label <> pred GROUP BY 1, 2),
+           |fnt AS (SELECT b, label AS cls, count(*) AS fn FROM s WHERE label <> pred GROUP BY 1, 2)
+           |SELECT cl.b AS b, cl.cls AS cls,
+           |  CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+           |  CAST(coalesce(fp, 0) AS BIGINT) AS fp,
+           |  CAST(coalesce(fn, 0) AS BIGINT) AS fn,
+           |  CAST(CASE WHEN coalesce(tp, 0) * 2 + coalesce(fp, 0) + coalesce(fn, 0) = 0 THEN 0.0
+           |    ELSE 2.0 * coalesce(tp, 0) / (2.0 * coalesce(tp, 0) + coalesce(fp, 0) + coalesce(fn, 0))
+           |    END AS DOUBLE) AS f1
+           |FROM cl LEFT JOIN tpt ON cl.b = tpt.b AND cl.cls = tpt.cls
+           |        LEFT JOIN fpt ON cl.b = fpt.b AND cl.cls = fpt.cls
+           |        LEFT JOIN fnt ON cl.b = fnt.b AND cl.cls = fnt.cls
+           |ORDER BY b, cls""".stripMargin
+      },
       "q27_macro_f1" -> {
         val bucket10 =
           "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10)"

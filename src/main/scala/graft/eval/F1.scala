@@ -35,6 +35,49 @@ object F1 {
     rows.toSeq.toDF("cls", "tp", "fp", "fn", "f1")
   }
 
+  /** Metric STABILITY under deterministic resampling — the confidence
+    * band a scorecard should carry next to its point estimate: per-class
+    * confusion + F1 over `nResamples` independent half-subsamples, each
+    * selected by an md5 bucket of (key, resample index). No RNG — the
+    * subsample membership is a pure function of the key, so any engine
+    * reproduces the whole table bit-for-bit (q93's oracle does) and two
+    * runs agree. Per-resample class set = union of labels and preds seen
+    * IN THAT subsample (`perClass`'s sklearn stance, per b).
+    *
+    * Scale shape: ONE exchange total — the (b, actual, predicted)
+    * confusion groupBy over the b-exploded frame (B× rows map-side,
+    * combined before the shuffle; the broadcast b-range cross join is
+    * narrow). The collected confusion is <= B x classes² rows; the F1
+    * arithmetic is local driver code on that tiny table. */
+  def resampledPerClass(df: DataFrame, labelCol: String, predCol: String,
+                        keyCol: org.apache.spark.sql.Column,
+                        nResamples: Int = 50): DataFrame = {
+    require(nResamples > 0, s"nResamples must be positive: $nResamples")
+    val spark = df.sparkSession
+    val bs = spark.range(nResamples).toDF("__b")
+    val sub = df.crossJoin(F.broadcast(bs))
+      .filter(graft.functions.TextFunctions.md5Bucket(
+        F.concat(keyCol.cast("string"), F.lit("#"), F.col("__b").cast("string")), 2) === 0)
+    val conf = sub
+      .groupBy(F.col("__b"), F.col(labelCol).as("actual"), F.col(predCol).as("predicted"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val rows = conf.map(_._1).distinct.sorted.flatMap { b =>
+      val cb = conf.filter(_._1 == b)
+      val classes = (cb.map(_._2) ++ cb.map(_._3)).distinct.sorted
+      classes.map { cls =>
+        val tp = cb.collect { case (_, a, p, n) if a == cls && p == cls => n }.sum
+        val fp = cb.collect { case (_, a, p, n) if p == cls && a != cls => n }.sum
+        val fn = cb.collect { case (_, a, p, n) if a == cls && p != cls => n }.sum
+        val f1 = if (2 * tp + fp + fn == 0) 0.0 else 2.0 * tp / (2.0 * tp + fp + fn)
+        (b, cls, tp, fp, fn, f1)
+      }
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("b", "cls", "tp", "fp", "fn", "f1")
+  }
+
   /** Macro-F1 over the (label, pred) columns. */
   def macroF1(df: DataFrame, labelCol: String, predCol: String): Double = {
     val row = perClass(df, labelCol, predCol).agg(F.avg("f1")).head()
