@@ -56,6 +56,7 @@ object CorpusPrep {
           threshold: Double = 0.7, qualityBand: Option[(Double, Double)] = None,
           bandMetric: Option[Column] = None,
           lmBand: Option[(Double, Double)] = None,
+          tokensOverride: Option[Column] = None,
           maxBenchShingles: Int = 50000000,
           lineClean: Boolean = false,
           maxDupLineFrac: Option[Double] = None,
@@ -156,8 +157,13 @@ object CorpusPrep {
           .drop("n_tokens", "sum_bits", "mean_bits", "__mb")
       case None => df
     }
+    // packing budgets with the whitespace token count by default;
+    // `tokensOverride` swaps in a real tokenizer's count (e.g.
+    // `Bpe.withTokenCounts`'s column from a trained merge table) so the
+    // chunk layout matches what the training run will actually see
     def pack(df: DataFrame): DataFrame =
-      Packing.packSequential(df, TextFunctions.tokenCount(text),
+      Packing.packSequential(df,
+        tokensOverride.getOrElse(TextFunctions.tokenCount(text)),
         shardCol, idCol, tokenBudget)
     // broadcast decontamination when the benchmark fits (zero shuffles);
     // AUTO-FALLBACK to the any-size semi-join tier when the guard trips —

@@ -134,6 +134,28 @@ object Bpe {
   def ranksOf(merges: Seq[(String, String)]): Map[(String, String), Int] =
     merges.zipWithIndex.toMap
 
+  /** Persist the merge table (one "a<TAB>b" line per rule, rank = line
+    * order) — the artifact a standing tokenizer ships between the train
+    * run and every corpus job that budgets with it. Tab-safe: symbols
+    * are concatenations of text chars and `Eow`, and whitespace-split
+    * words never contain a tab. */
+  def save(merges: Seq[(String, String)], path: String): Unit = {
+    val sb = new StringBuilder
+    merges.foreach { case (a, b) => sb.append(a).append('\t').append(b).append('\n') }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def load(path: String): Seq[(String, String)] =
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path),
+        java.nio.charset.StandardCharsets.UTF_8)).asScala
+      .toSeq.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        require(i > 0, s"malformed merge line: '$line'")
+        (line.substring(0, i), line.substring(i + 1))
+      }
+
   /** Per-row BPE token counts for a corpus under broadcast merge ranks:
     * adds `bpe_tokens`. The ranks ride the closure (Spark broadcasts the
     * serialized task once per executor); per-row work only, no shuffle. */

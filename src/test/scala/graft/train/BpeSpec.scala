@@ -34,6 +34,41 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.train(Array(("abc", 1L)), numMerges = 10).isEmpty)
   }
 
+  test("save/load roundtrip preserves merge order exactly") {
+    val merges = Seq(("a", "a"), ("b", Bpe.Eow), ("a", "b" + Bpe.Eow))
+    val path = java.nio.file.Files.createTempFile("bpe", ".tsv").toString
+    Bpe.save(merges, path)
+    assert(Bpe.load(path) == merges)
+  }
+
+  test("CorpusPrep packs under a BPE token count via tokensOverride") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udf
+    // rule-passing prose (the CorpusPrepSpec word shape) so docs survive
+    def word(seed: Long): String =
+      "w" + math.abs(graft.dedup.Dedup.mix64(seed)).toString.take(5)
+        .map(c => ('a' + (c - '0')).toChar).mkString + "."
+    val docs = (0 until 12).map { i =>
+      ("s0", i.toLong, (0 until 40).map(j => word(i * 1000L + j)).mkString(" "))
+    }.toDF("shard", "id", "text")
+    val merges = Bpe.train(Bpe.wordFreqs(docs, "text"), numMerges = 20)
+    val ranks = Bpe.ranksOf(merges)
+    val cnt = udf((t: String) => Bpe.tokenCount(t, ranks))
+    val (packed, _) = graft.pipeline.CorpusPrep.run(docs, "text", "id", "shard",
+      tokenBudget = 600L, tokensOverride = Some(cnt(org.apache.spark.sql.functions.col("text"))),
+      report = false)
+    val rows = packed.orderBy("id")
+      .select("id", "text", "chunk_id").collect()
+    assert(rows.length == 12)
+    // recount the layout: chunk = floor(running BPE start / budget)
+    var start = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) == start / 600L,
+        s"doc ${r.getLong(0)}: chunk must follow the BPE running total")
+      start += Bpe.tokenCount(r.getString(1), ranks)
+    }
+  }
+
   test("distributed word freqs: cap by (freq desc, word asc); counts match a recount") {
     import spark.implicits._
     val docs = Seq("aaab aab", "aaab ab", "aaab aab xyz").toDF("text")
