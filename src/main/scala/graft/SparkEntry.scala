@@ -1021,6 +1021,24 @@ object SparkEntry {
       graft.eval.F1.perClass(preds, "label", "pred").orderBy("cls")
     }),
 
+    // Unicode NFC normalization via the native codegen'd expression:
+    // decomposed accents (e+U+0301, A+U+030A) planted on %6==1 compose
+    // to single code points; already-NFC rows pass the zero-allocation
+    // fast path untouched. DuckDB's nfc_normalize is the oracle.
+    "q94_nfc_normalize" -> ((s, dir) => {
+      // DECOMPOSED planting (combining acute/ring/diaeresis escapes) --
+      // composed literals would make normalization a no-op, gate vacuous
+      val planted = when(col("doc_id") % 6 === 1,
+        concat(col("text"), lit(" cafe\u0301 A\u030Angstro\u0308m")))
+        .otherwise(col("text"))
+      t(s, dir, "documents").select(col("doc_id"), planted.as("t2"))
+        .select(col("doc_id"),
+          length(col("t2")).as("n_before"),
+          length(graft.plans.GraftFunctions.nfcNormalize(col("t2"))).as("n_after"),
+          md5(graft.plans.GraftFunctions.nfcNormalize(col("t2"))).as("norm_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Metric STABILITY table: per-class F1 over 25 deterministic
     // md5-selected half-subsamples of q27's corrupted predictions — the
     // resampled confidence band an eval scorecard carries; no RNG, so
@@ -1815,6 +1833,21 @@ object SparkEntry {
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
       "q26_offset_limit" ->
         "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 50 OFFSET 100",
+      // NFC normalization: identical decomposed planting via chr()
+      // (U+0301/U+030A/U+0308 combining marks), DuckDB's nfc_normalize
+      // as the reference kernel, md5 byte parity on the composed text
+      "q94_nfc_normalize" ->
+        """WITH p AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 6 = 1
+          |      THEN text || ' cafe' || chr(769) || ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+          |      ELSE text END AS t2
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(length(t2) AS INTEGER) AS n_before,
+          |  CAST(length(nfc_normalize(t2)) AS INTEGER) AS n_after,
+          |  md5(nfc_normalize(t2)) AS norm_md5
+          |FROM p ORDER BY doc_id""".stripMargin,
       // q27's confusion arithmetic with an extra resample key: b-exploded
       // rows, md5(key#b) half-subsample, per-(b, cls) counts, one
       // division — left-assoc double arithmetic mirrors eval/F1.scala

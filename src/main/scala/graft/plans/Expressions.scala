@@ -74,6 +74,33 @@ case class TopNgramCharFrac(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization as a native codegen'd expression — Spark
+  * ships no normalizer builtin, and canonical-equivalent byte variants
+  * (decomposed accents, composed ligature forms) silently defeat
+  * fingerprint dedup, gram matching, and token counting. Generated code
+  * is one static call with an `isNormalized` fast path that returns the
+  * (dominant) already-NFC row untouched; stays inside WholeStageCodegen
+  * where a Scala UDF would box and break the stage. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires a string column, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.text.Normalize.nfcUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.Normalize.nfcUtf8($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** G1 as a SQL-facing Generator: split_snippets(text, limit) explodes a
   * file into chunks of >= limit non-empty lines (tail merged), semantics
   * of `create_stack_snippets.py:120-141`. Generators don't participate in

@@ -32,6 +32,10 @@ object GraftFunctions {
   def topNgramCharFrac(text: Column, n: Int): Column =
     ExpressionUtils.column(TopNgramCharFrac(ExpressionUtils.expression(text), n))
 
+  /** Column API for Unicode NFC normalization. */
+  def nfcNormalize(text: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
+
   private[plans] def multiContainsBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length >= 2, "multi_contains(text, token, ...)")
     val tokens = exprs.tail.map {
@@ -72,5 +76,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("top_ngram_char_frac"),
       new ExpressionInfo(classOf[TopNgramCharFrac].getName, "top_ngram_char_frac"),
       GraftFunctions.topNgramBuilder))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "nfc_normalize(text)")
+        NfcNormalize(exprs.head)
+      }))
   }
 }

@@ -21,4 +21,20 @@ object Normalize {
     }
     sb.toString
   }
+
+  /** Unicode NFC normalization kernel for the `NfcNormalize` native
+    * expression (and anyone else): composes decomposed sequences
+    * (e + U+0301 -> é) so fingerprints, dedup grams, and token counts
+    * see ONE byte form per canonical-equivalent text — the first
+    * normalization every web-corpus pipeline applies. Fast path: the
+    * dominant already-normalized row is returned UNTOUCHED (same
+    * UTF8String, zero allocation) — `Normalizer.isNormalized` is a scan,
+    * not a rewrite. Called from generated code. */
+  def nfcUtf8(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
 }

@@ -52,6 +52,33 @@ class PlansSpec extends AnyFunSuite {
     assert(chunks.toSeq == Splitter.splitSnippet(text, 3).toSeq)
   }
 
+  test("nfcNormalize: composes decomposed forms, fast-path identity, codegen, SQL surface") {
+    import spark.implicits._
+    val decomposedE = "cafe" + "\u0301"  // e + COMBINING ACUTE, 5 chars
+    val composedE = "caf" + "\u00e9"     // U+00E9, 4 chars
+    val decomposedA = "A" + "\u030a" + " str" // A + COMBINING RING
+    val composedA = "\u00c5" + " str"
+    val df = Seq((1L, decomposedE), (2L, decomposedA), (3L, "plain ascii"), (4L, null))
+      .toDF("id", "text")
+    val out = df.select(F.col("id"), GraftFunctions.nfcNormalize(F.col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == composedE && out(1L).length == 4, "e+U+0301 composes to U+00E9")
+    assert(out(2L) == composedA)
+    assert(out(3L) == "plain ascii")
+    assert(out(4L) == null, "null stays null")
+    // whole-stage codegen holds around the expression (parquet source —
+    // a LocalTableScan would constant-fold the projection away)
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(GraftFunctions.nfcNormalize(F.col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"), plan)
+    // SQL surface
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", { exprs => graft.plans.NfcNormalize(exprs.head) }, "built-in")
+    assert(spark.sql(s"SELECT nfc_normalize('$decomposedE') AS t").head().getString(0)
+      == composedE)
+  }
+
   test("SQL registration via function registry (extensions builder path)") {
     import spark.implicits._
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
