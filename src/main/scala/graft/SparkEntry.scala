@@ -533,6 +533,17 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n"))
         .orderBy("lang")),
 
+    // the near-dup filter under the KEEP-BEST policy: same planted
+    // mutants as q51, but each cluster keeps its LONGEST member (the
+    // mutant — base text || ' mutated'), the opposite survivor set from
+    // q51's min-id, so the gate distinguishes the policies.
+    "q95_drop_near_dups_best" -> ((s, dir) =>
+      graft.dedup.Dedup.dropNearDupsBest(docsWithPlantedDups(s, dir), "text", "doc_id",
+          length(col("text")).cast("long"),
+          w = 3, k = 32, bands = 16, threshold = 0.5)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")),
+
     // benchmark decontamination: a "benchmark" is built from a 16-word
     // window of every 37th document, so exactly those source documents
     // share an 8-gram with it and must be dropped; per-lang survivor
@@ -2267,6 +2278,49 @@ object SparkEntry {
           |SELECT lang, count(*) AS n FROM d
           |WHERE doc_id NOT IN (SELECT node FROM losers)
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // q51's closure with the keep-best tail: the per-cluster winner is
+      // arg_max over [length, -id] (max length, tie -> min id)
+      "q95_drop_near_dups_best" ->
+        """WITH RECURSIVE d AS (
+          |  SELECT doc_id, text, lang FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text || ' mutated' AS text, lang
+          |  FROM documents WHERE doc_id % 7 = 0),
+          |sh AS (
+          |  SELECT doc_id,
+          |    (CASE WHEN len(ws) >= 3 THEN
+          |      list_distinct(list_transform(generate_series(1, len(ws) - 2),
+          |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+          |     WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
+          |     ELSE [] END) AS s
+          |  FROM (SELECT doc_id,
+          |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+          |        FROM d)),
+          |j AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    (CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+          |     ELSE len(list_intersect(a.s, b.s)) * 1.0 /
+          |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END) AS jac
+          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+          |e AS (
+          |  SELECT id_a AS a, id_b AS b FROM j WHERE jac >= 0.5
+          |  UNION ALL
+          |  SELECT id_b AS a, id_a AS b FROM j WHERE jac >= 0.5),
+          |cc AS (
+          |  SELECT a AS node, a AS comp FROM e
+          |  UNION
+          |  SELECT e.b AS node, cc.comp AS comp FROM cc JOIN e ON e.a = cc.node),
+          |m AS (SELECT node, min(comp) AS comp FROM cc GROUP BY node),
+          |sc AS (SELECT m.node, m.comp, CAST(length(d.text) AS BIGINT) AS s
+          |       FROM m JOIN d ON m.node = d.doc_id),
+          |mx AS (SELECT comp, max(s) AS ms FROM sc GROUP BY comp),
+          |w AS (SELECT sc.comp, min(sc.node) AS keep FROM sc
+          |      JOIN mx ON sc.comp = mx.comp AND sc.s = mx.ms GROUP BY sc.comp),
+          |losers AS (
+          |  SELECT sc.node FROM sc JOIN w ON sc.comp = w.comp WHERE sc.node <> w.keep)
+          |SELECT lang, count(*) AS n FROM d
+          |WHERE doc_id NOT IN (SELECT node FROM losers)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       // decontamination restated on word-shingle STRINGS (Spark side uses
       // 64-bit hashes of the same shingles — equal iff strings equal):
       // survivors are docs whose 8-gram set misses every benchmark 8-gram
@@ -2799,6 +2853,7 @@ object SparkEntry {
     "q19_minhash_dups" -> "sf0.01",
     "q49_dedup_components" -> "sf0.01",
     "q51_drop_near_dups" -> "sf0.01",
+    "q95_drop_near_dups_best" -> "sf0.01",
     // literal VALUES pins of sf0.01 output (mix64 not expressible in DuckDB)
     "q20_simhash_dups" -> "sf0.01",
     // BPE merges trained on the sf corpus itself -> counts are sf-specific

@@ -404,6 +404,50 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** `dropByPairs` with an explicit KEEP POLICY: each duplicate cluster
+    * keeps the member MAXIMIZING `score` (quality score, length,
+    * recency...) instead of the arbitrary min-id — a dedup pass should
+    * surrender the truncated scrape and keep the complete copy. Ties
+    * break to the smallest id, so the choice is total and deterministic
+    * (oracle-exact, q95).
+    *
+    * Scale shape: `components` shuffles ids only; the score join
+    * projects the corpus to (id, score) rows and touches only ids that
+    * are IN a cluster (inner join against the component table); the
+    * per-cluster winner is one tiny max_by aggregate; the corpus text
+    * flows once through the final left-anti (AQE broadcasts the loser
+    * set when it fits — the `dropByPairs` shape). */
+  def dropByPairsKeepBest(df: DataFrame, pairs: DataFrame, idCol: String,
+                          score: Column,
+                          idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val comp = components(pairs, idA, idB)
+    val scored = comp.join(
+      df.select(F.col(idCol).as("node"), score.as("__s")), Seq("node"))
+    val winners = scored.groupBy("comp")
+      .agg(F.max_by(F.col("node"),
+        F.struct(F.col("__s").as("s"), (-F.col("node")).as("t"))).as("__keep"))
+    val losers = scored.join(winners, Seq("comp"))
+      .filter(F.col("node") =!= F.col("__keep"))
+      .select(F.col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** `dropNearDups` under the keep-best policy: minhash LSH pairs,
+    * clusters, keep the highest-`score` member per cluster. */
+  def dropNearDupsBest(df: DataFrame, textCol: String, idCol: String,
+                       score: Column,
+                       w: Int = 3, k: Int = 32, bands: Int = 8,
+                       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val withSh = df.select(F.col(idCol),
+        shinglesUdf(F.col(textCol), F.lit(w)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = minhashPairsFromShingles(withSh, idCol, k, bands,
+        threshold, maxBucket)
+      dropByPairsKeepBest(df, pairs, idCol, score)
+    } finally withSh.unpersist(false)
+  }
+
   /** The end-to-end near-dup FILTER a training-data pipeline actually
     * runs: detect pairs (minhash LSH over word shingles), cluster, keep
     * only the min-id member per cluster. Pairs/components remain

@@ -495,6 +495,19 @@ class DedupSpec extends AnyFunSuite {
     assert(out(6L) == ((12L, 12L, "i j k l m n o p q unique tail words")))
   }
 
+  test("dropByPairsKeepBest: max score survives per cluster, ties to min id, non-dups kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x", 5L), (2L, "x", 9L), (3L, "x", 9L), // cluster {1,2,3}: 2 and 3 tie at 9 -> keep 2
+      (4L, "y", 1L), (5L, "y", 7L),                 // cluster {4,5}: keep 5
+      (6L, "z", 0L)                                 // unpaired: kept regardless of score
+    ).toDF("id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropByPairsKeepBest(docs, pairs, "id", org.apache.spark.sql.functions.col("score"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 5L, 6L), s"got $kept")
+  }
+
   test("contaminationReport: per-item gram totals, hits, distinct docs, short-text convention") {
     import spark.implicits._
     val docs = Seq(
