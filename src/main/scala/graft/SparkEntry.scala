@@ -644,6 +644,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // keep-first dedup at PARAGRAPH granularity (RefinedWeb runs both
+    // levels): a footer paragraph planted into every 4th doc (across a
+    // TRIPLE newline on %8==5, exercising the \n{2,} split) survives
+    // only in doc 0; separators normalize to the canonical \n\n.
+    "q96_dedup_paragraphs" -> ((s, dir) => {
+      val p1 = when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit("\n\nShared syndication footer paragraph.")))
+        .otherwise(col("text"))
+      val p2 = when(col("doc_id") % 8 === 5,
+        concat(p1, lit("\n\n\nShared syndication footer paragraph.")))
+        .otherwise(p1)
+      val docs = t(s, dir, "documents").select(col("doc_id"), p2.as("text"))
+      graft.dedup.Dedup.dedupUnitsKeepFirst(docs, "text", "doc_id", "\n{2,}", "\n\n")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_clean"),
+          md5(col("text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup (embedding-cluster semantic dedup): deterministic seed-row
     // centroids (the q38 md5-ordered sample, so DuckDB can recompute
     // assignment exactly), within-cluster cosine >= 0.2 drops the
@@ -2472,6 +2491,37 @@ object SparkEntry {
           |      FROM e),
           |r AS (SELECT doc_id,
           |        array_to_string(list(line ORDER BY pos), chr(10)) AS clean
+          |      FROM k WHERE rn = 1 GROUP BY doc_id)
+          |SELECT p.doc_id,
+          |  CAST(len(coalesce(clean, '')) AS BIGINT) AS n_chars_clean,
+          |  md5(coalesce(clean, '')) AS clean_md5
+          |FROM p LEFT JOIN r ON p.doc_id = r.doc_id
+          |ORDER BY p.doc_id""".stripMargin,
+      // paragraph keep-first: q72's machinery on \n{2,} units, rebuilt
+      // with the canonical double-newline separator
+      "q96_dedup_paragraphs" ->
+        """WITH p AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 8 = 5
+          |      THEN p1 || chr(10) || chr(10) || chr(10) || 'Shared syndication footer paragraph.'
+          |      ELSE p1 END AS t2
+          |  FROM (SELECT doc_id,
+          |          CASE WHEN doc_id % 4 = 0
+          |            THEN text || chr(10) || chr(10) || 'Shared syndication footer paragraph.'
+          |            ELSE text END AS p1
+          |        FROM documents)),
+          |l AS (SELECT doc_id,
+          |        list_filter(regexp_split_to_array(t2, '\n{2,}'), x -> len(x) > 0) AS ps
+          |      FROM p),
+          |e AS (SELECT doc_id,
+          |        unnest(generate_series(1, len(ps))) AS pos,
+          |        unnest(ps) AS para
+          |      FROM l),
+          |k AS (SELECT doc_id, pos, para,
+          |        row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+          |      FROM e),
+          |r AS (SELECT doc_id,
+          |        array_to_string(list(para ORDER BY pos), chr(10) || chr(10)) AS clean
           |      FROM k WHERE rn = 1 GROUP BY doc_id)
           |SELECT p.doc_id,
           |  CAST(len(coalesce(clean, '')) AS BIGINT) AS n_chars_clean,

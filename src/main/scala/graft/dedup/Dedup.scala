@@ -765,10 +765,22 @@ object Dedup {
     * times costs its partition size, not memory. Output: input columns
     * with `textCol` rewritten (docs whose every line was seen before
     * become empty — filter downstream if empties should drop). */
-  def dedupLinesKeepFirst(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def dedupLinesKeepFirst(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    dedupUnitsKeepFirst(docs, textCol, idCol, "\n", "\n")
+
+  /** `dedupLinesKeepFirst` at ANY unit granularity — RefinedWeb runs the
+    * keep-first pass at both line and PARAGRAPH level (splitPattern
+    * "\n{2,}", joinSep "\n\n"): a scraped page can repeat a whole
+    * syndicated paragraph while no single line matches globally. The
+    * rebuild joins surviving units with `joinSep`, so variable-width
+    * separators normalize to it (\n\n\n between paragraphs comes back as
+    * \n\n — the documented canonical form, q96's oracle does the same). */
+  def dedupUnitsKeepFirst(docs: DataFrame, textCol: String, idCol: String,
+                          splitPattern: String, joinSep: String): DataFrame = {
     val text = F.col(textCol)
+    val units = F.filter(F.split(text, splitPattern), x => F.length(x) > 0)
     val exploded = docs.select(F.col(idCol),
-      F.posexplode(nonEmptyLines(text)).as(Seq("__pos", "__line")))
+      F.posexplode(units).as(Seq("__pos", "__line")))
     val wL = Window.partitionBy("__line").orderBy(F.col(idCol), F.col("__pos"))
     val kept = exploded
       .withColumn("__rn", F.row_number().over(wL))
@@ -776,7 +788,7 @@ object Dedup {
       .groupBy(idCol)
       .agg(F.array_join(
         F.transform(F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
-          s => s("__line")), "\n").as("__clean"))
+          s => s("__line")), joinSep).as("__clean"))
     docs.drop(textCol)
       .join(kept, Seq(idCol), "left")
       .withColumn(textCol, F.coalesce(F.col("__clean"), F.lit("")))

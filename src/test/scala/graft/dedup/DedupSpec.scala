@@ -495,6 +495,22 @@ class DedupSpec extends AnyFunSuite {
     assert(out(6L) == ((12L, 12L, "i j k l m n o p q unique tail words")))
   }
 
+  test("dedupUnitsKeepFirst at paragraph granularity: global first survives, separators normalize") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique one\n\nshared para"),
+      (2L, "unique two\n\n\nshared para"),   // \n{3} split; loses the dup
+      (3L, "shared para"),                    // whole doc was seen first in doc 1
+      (4L, "intact\ninternal newline")        // single newline: ONE paragraph, untouched
+    ).toDF("id", "text")
+    val out = Dedup.dedupUnitsKeepFirst(docs, "text", "id", "\n{2,}", "\n\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "unique one\n\nshared para")
+    assert(out(2L) == "unique two", "later occurrence of the shared paragraph drops")
+    assert(out(3L) == "", "fully-duplicate doc empties, not drops")
+    assert(out(4L) == "intact\ninternal newline")
+  }
+
   test("dropByPairsKeepBest: max score survives per cluster, ties to min id, non-dups kept") {
     import spark.implicits._
     val docs = Seq(
