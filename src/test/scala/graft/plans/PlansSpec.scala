@@ -139,6 +139,9 @@ class PlansSpec extends AnyFunSuite {
         "SELECT s.snip FROM ext_docs LATERAL VIEW split_snippets(text, 1) s AS snip " +
           "WHERE id = 1").collect().map(_.getString(0))
       assert(snips.toSeq == Splitter.splitSnippet(docs.head._2, 1).toSeq)
+      // the NFC normalizer rides the same injection
+      assert(s2.sql("SELECT nfc_normalize('cafe" + "\u0301" + "') AS t")
+        .head().getString(0) == "caf" + "\u00e9")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
