@@ -57,6 +57,7 @@ object CorpusPrep {
           bandMetric: Option[Column] = None,
           lmBand: Option[(Double, Double)] = None,
           tokensOverride: Option[Column] = None,
+          nearDupKeepBy: Option[Column] = None,
           maxBenchShingles: Int = 50000000,
           lineClean: Boolean = false,
           maxDupLineFrac: Option[Double] = None,
@@ -181,10 +182,19 @@ object CorpusPrep {
           Dedup.decontaminateJoin(df, textCol, idCol, b, benchTextCol)
       }
 
+    // stage-2 survivor policy: min-id by default; `nearDupKeepBy` keeps
+    // the cluster member maximizing the given score instead (q95 — keep
+    // the complete copy, not the truncated scrape)
+    def nearDupFree(df: DataFrame): DataFrame = nearDupKeepBy match {
+      case Some(s) => Dedup.dropNearDupsBest(df, textCol, idCol, s,
+        w = w, k = k, bands = bands, threshold = threshold)
+      case None => Dedup.dropNearDups(df, textCol, idCol,
+        w = w, k = k, bands = bands, threshold = threshold)
+    }
+
     if (!report) {
       val d1 = Dedup.exact(preCleaned(docs), textCol, idCol)
-      val d2 = Dedup.dropNearDups(d1, textCol, idCol,
-        w = w, k = k, bands = bands, threshold = threshold)
+      val d2 = nearDupFree(d1)
       val d3 = benchmark match {
         case Some(b) => decontaminated(d2, b)
         case None => d2
@@ -216,8 +226,7 @@ object CorpusPrep {
         else pre0
       val d1 = Dedup.exact(pre, textCol, idCol)
         .observe(obs1, count1).localCheckpoint(true)
-      val d2 = Dedup.dropNearDups(d1, textCol, idCol,
-          w = w, k = k, bands = bands, threshold = threshold)
+      val d2 = nearDupFree(d1)
         .observe(obs2, count1).localCheckpoint(true)
       val d3 = benchmark match {
         case Some(b) =>

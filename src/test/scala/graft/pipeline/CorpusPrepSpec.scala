@@ -206,6 +206,25 @@ class CorpusPrepSpec extends AnyFunSuite {
       s"the band drops roughly the top quartile, not the corpus: ${kept.size}")
   }
 
+  test("nearDupKeepBy keeps the best cluster member instead of the min id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    val base = (0 until 30).map(doc)
+    // near-dup mutant is LONGER than its source -> keep-longest keeps IT
+    val nearDup = ("s1", 101L, base(1)._3 + " extras." + " padding." + " more.")
+    val docs = (base :+ nearDup).toDF("shard", "id", "text")
+    val (minId, _) = CorpusPrep.run(docs, "text", "id", "shard",
+      tokenBudget = 100L, threshold = 0.5, report = false)
+    val (best, _) = CorpusPrep.run(docs, "text", "id", "shard",
+      tokenBudget = 100L, threshold = 0.5, report = false,
+      nearDupKeepBy = Some(length(col("text")).cast("long")))
+    val minIds = minId.select("id").collect().map(_.getLong(0)).toSet
+    val bestIds = best.select("id").collect().map(_.getLong(0)).toSet
+    assert(minIds(1L) && !minIds(101L), "default policy keeps the min id")
+    assert(bestIds(101L) && !bestIds(1L), "keep-best keeps the longer mutant")
+    assert((minIds - 1L) == (bestIds - 101L), "policies differ only inside the cluster")
+  }
+
   test("oversized benchmark auto-falls back to the semi-join tier, same survivors") {
     import spark.implicits._
     val base = (0 until 30).map(doc)
