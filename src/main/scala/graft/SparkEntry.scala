@@ -1069,6 +1069,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // LANGUAGE-CONDITIONAL stopword gate: %5==2 docs get three of their
+    // OWN language's stopwords (hits >= 3 -> keep), %5==4 docs get
+    // ENGLISH stopwords regardless of language — only en docs earn
+    // credit, demonstrating the monolingual-filter bug the operator
+    // exists to avoid.
+    "q97_multilingual_stopwords" -> ((s, dir) => {
+      val own = when(col("lang") === "en", lit(" the of and"))
+        .when(col("lang") === "de", lit(" der die und"))
+        .when(col("lang") === "fr", lit(" le la et"))
+        .when(col("lang") === "es", lit(" el la de"))
+        .when(col("lang") === "zh", lit(" 的 了 是"))
+        .otherwise(lit(""))
+      val p1 = when(col("doc_id") % 5 === 2, concat(col("text"), own))
+        .otherwise(col("text"))
+      val p2 = when(col("doc_id") % 5 === 4, concat(p1, lit(" the of and")))
+        .otherwise(p1)
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), p2.as("t2"))
+        .select(col("doc_id"), col("lang"),
+          graft.quality.GopherRules.stopwordHitsFor(col("t2"), col("lang"))
+            .as("stopword_hits"))
+        .withColumn("keep", (col("stopword_hits") >= 2).cast("int"))
+        .orderBy("doc_id")
+    }),
+
     // Metric STABILITY table: per-class F1 over 25 deterministic
     // md5-selected half-subsamples of q27's corrupted predictions — the
     // resampled confidence band an eval scorecard carries; no RNG, so
@@ -1878,6 +1902,38 @@ object SparkEntry {
           |  CAST(length(nfc_normalize(t2)) AS INTEGER) AS n_after,
           |  md5(nfc_normalize(t2)) AS norm_md5
           |FROM p ORDER BY doc_id""".stripMargin,
+      // language-conditional stopword hits: identical planting, one CASE
+      // over the per-lang tables, distinct lowered words both sides
+      "q97_multilingual_stopwords" ->
+        """WITH p AS (
+          |  SELECT doc_id, lang,
+          |    CASE WHEN doc_id % 5 = 4 THEN p1 || ' the of and' ELSE p1 END AS t2
+          |  FROM (SELECT doc_id, lang,
+          |          CASE WHEN doc_id % 5 = 2 THEN text ||
+          |            CASE lang WHEN 'en' THEN ' the of and'
+          |              WHEN 'de' THEN ' der die und'
+          |              WHEN 'fr' THEN ' le la et'
+          |              WHEN 'es' THEN ' el la de'
+          |              WHEN 'zh' THEN ' 的 了 是' ELSE '' END
+          |          ELSE text END AS p1
+          |        FROM documents)),
+          |w AS (SELECT doc_id, lang,
+          |    list_distinct(list_transform(
+          |      list_filter(regexp_split_to_array(t2, '\s+'), x -> x <> ''),
+          |      x -> lower(x))) AS ws
+          |  FROM p),
+          |h AS (SELECT doc_id, lang,
+          |    CAST(CASE lang
+          |      WHEN 'de' THEN len(list_intersect(ws, ['der','die','das','und','ist','von','mit','nicht']))
+          |      WHEN 'en' THEN len(list_intersect(ws, ['the','be','to','of','and','that','have','with']))
+          |      WHEN 'es' THEN len(list_intersect(ws, ['el','la','de','que','y','los','con','para']))
+          |      WHEN 'fr' THEN len(list_intersect(ws, ['le','la','et','les','des','que','pour','dans']))
+          |      WHEN 'zh' THEN len(list_intersect(ws, ['的','了','是','在','我','有','和','不']))
+          |      ELSE 0 END AS BIGINT) AS stopword_hits
+          |  FROM w)
+          |SELECT doc_id, lang, stopword_hits,
+          |  CAST(stopword_hits >= 2 AS INTEGER) AS keep
+          |FROM h ORDER BY doc_id""".stripMargin,
       // q27's confusion arithmetic with an extra resample key: b-exploded
       // rows, md5(key#b) half-subsample, per-(b, cls) counts, one
       // division — left-assoc double arithmetic mirrors eval/F1.scala

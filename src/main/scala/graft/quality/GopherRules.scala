@@ -85,6 +85,36 @@ object GopherRules {
       F.array_distinct(F.transform(words(text), w => F.lower(w))),
       F.array(Stopwords.map(F.lit): _*))).cast("long")
 
+  /** Canonical stopword tables for the corpus's language set — the
+    * multilingual complement of `Stopwords` (all-lowercase; zh tokens
+    * are space-delimited words in this corpus's convention). Public
+    * high-frequency function words only. */
+  val StopwordTables: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "que", "pour", "dans"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "con", "para"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "不"))
+
+  /** LANGUAGE-CONDITIONAL stopword hits: each document is judged against
+    * ITS OWN language's table — an English list scores zero on French
+    * prose and would junk every non-English page, the classic
+    * monolingual-filter bug. The bounded language set unrolls to a
+    * codegen-friendly when-chain over one shared lowered-word array;
+    * unknown languages score 0 (callers decide whether unknown-lang docs
+    * pass a different gate). */
+  def stopwordHitsFor(text: Column, lang: Column,
+                      tables: Map[String, Seq[String]] = StopwordTables): Column = {
+    val lowered = F.array_distinct(F.transform(words(text), w => F.lower(w)))
+    val chain = tables.toSeq.sortBy(_._1).foldLeft(F.lit(null).cast("long")) {
+      case (acc, (lg, stops)) =>
+        F.when(lang === lg,
+          F.size(F.array_intersect(lowered, F.array(stops.map(F.lit): _*))).cast("long"))
+          .otherwise(acc)
+    }
+    F.coalesce(chain, F.lit(0L))
+  }
+
   /** The combined Gopher keep decision at the published thresholds
     * (parameterized — corpora tune these). Composes with
     * `Rules.isJunkCol` (doc-shape junk) and `Repetition` (loop signals):

@@ -79,4 +79,24 @@ class GopherRulesSpec extends AnyFunSuite {
     val hashy = (prose + " " + ("# " * 30)).trim
     assert(signals(hashy)("keep") == false)
   }
+
+  test("stopwordHitsFor judges each doc by its OWN language's table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "en", "the cat of means and"),  // 3 en hits
+      (2L, "de", "der hund und die maus"), // 3 de hits
+      (3L, "de", "the cat of means and"),  // en words under a de table: 0
+      (4L, "fr", "le chat et la souris"),  // 3 fr hits ("la" is in fr too? table: le,la,et,... yes 3+)
+      (5L, "xx", "the of and")             // unknown lang: 0, never null
+    ).toDF("id", "lang", "text")
+    val out = docs.select(col("id"),
+        GopherRules.stopwordHitsFor(col("text"), col("lang")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 3L)
+    assert(out(2L) == 3L)
+    assert(out(3L) == 0L, "English function words earn nothing under the German table")
+    assert(out(4L) >= 3L)
+    assert(out(5L) == 0L, "unknown language scores 0, not null")
+  }
 }
