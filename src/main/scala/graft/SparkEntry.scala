@@ -908,12 +908,22 @@ object SparkEntry {
     // dyadic fractions — bit-exact in any engine (the q58 stance).
     "q83_lm_band" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // the vocab is read twice inside the scoring plan (broadcast vocab
+      // + broadcast total) and the scored frame twice by the band filter
+      // (quantile cutoffs + the filter side) — both are tiny (vocab /
+      // id-sized) next to the token explode that produces them, so
+      // materialize each once instead of re-running the LM pipeline per
+      // consumer (guide §5: cache what is reused AND expensive to
+      // recompute; identical rows, purely an evaluation-count change)
       val counts = graft.quality.LmScore.unigramCounts(docs, "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val scored = docs.select(col("doc_id"), col("lang"))
         .join(graft.quality.LmScore.scoreQuantizedBits(docs, "text", "doc_id", counts),
           Seq("doc_id"))
         .withColumn("milli_bits", when(col("n_tokens") === 0, 0L)
           .otherwise(expr("(sum_bits * 1000) div n_tokens")))
+        .localCheckpoint()
+      counts.unpersist(false)
       graft.stats.Quantiles.keepQuantileBand(scored, col("milli_bits"),
           Seq("lang"), 0.0, 0.75, useExact = true)
         .select("doc_id", "lang", "n_tokens", "sum_bits", "milli_bits")

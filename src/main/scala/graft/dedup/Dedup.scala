@@ -167,6 +167,22 @@ object Dedup {
 
   // ---- DataFrame operators ----
 
+  /** Stream a single-LONG-column frame into a primitive Array[Long] on
+    * the driver. `collect()` materializes every row as a boxed Row object
+    * SIMULTANEOUSLY before conversion — at the 50M-row caps of
+    * `decontaminate`/`dropBoilerplateLines` that is multi-GB of driver
+    * heap (vs the ~400 MB the primitive array costs), so the driver could
+    * OOM before the size-guard exception ever fired — and a driver OOM
+    * defeats CorpusPrep's catch-and-fallback to the join tier.
+    * `toLocalIterator` holds one partition's batch at a time; rows are
+    * unboxed into the growing primitive builder as they stream. */
+  private def collectLongColumn(df: DataFrame): Array[Long] = {
+    val b = new scala.collection.mutable.ArrayBuilder.ofLong
+    val it = df.toLocalIterator()
+    while (it.hasNext) b += it.next().getLong(0)
+    b.result()
+  }
+
   /** Exact dedup: keep the row with the smallest `idCol` per fingerprint.
     * One shuffle; fingerprint is oracle-checkable
     * (TextFunctions.fingerprint).
@@ -483,9 +499,10 @@ object Dedup {
     * use `minhashDupPairs`/`dropByPairs` instead).
     *
     * Driver/executor memory: the guard runs BEFORE materialization (the
-    * collect is capped at maxBenchShingles+1 rows, so an oversized
-    * benchmark fails on the cap, never by OOMing the driver first), and
-    * the broadcast is a SORTED primitive Array[Long] probed by binary
+    * fetch is capped at maxBenchShingles+1 rows and STREAMED into a
+    * primitive array — `collectLongColumn` — so an oversized benchmark
+    * fails on the cap, never by OOMing the driver on boxed rows first),
+    * and the broadcast is a SORTED primitive Array[Long] probed by binary
     * search — 8 bytes/shingle flat (~400 MB at the 50M default cap),
     * not the 40+ bytes/entry a boxed Set[Long] costs. Membership per
     * corpus shingle is O(log n) over cache-friendly sorted longs. */
@@ -493,10 +510,10 @@ object Dedup {
                     benchmark: DataFrame, benchTextCol: String, w: Int = 8,
                     maxBenchShingles: Int = 50000000): DataFrame = {
     require(w >= 1, s"shingle width w must be >= 1, got $w")
-    val rows = benchmark
+    val grams = collectLongColumn(benchmark
       .select(F.explode(shinglesUdf(F.col(benchTextCol), F.lit(w))).as("g"))
-      .distinct().limit(maxBenchShingles + 1).collect()
-    if (rows.length > maxBenchShingles)
+      .distinct().limit(maxBenchShingles + 1))
+    if (grams.length > maxBenchShingles)
       // DEDICATED type, not a bare require: callers with a shuffled
       // fallback (CorpusPrep) must be able to catch EXACTLY the
       // size-guard trip without also swallowing genuine argument bugs
@@ -505,9 +522,6 @@ object Dedup {
           s"(~${maxBenchShingles.toLong * 8 / (1 << 20)} MB broadcast cap) — " +
           "too large to broadcast; use decontaminateJoin (shuffle-based, any size) " +
           "or minhashDupPairs/dropByPairs for corpus-vs-corpus overlap")
-    val grams = new Array[Long](rows.length)
-    var i = 0
-    while (i < rows.length) { grams(i) = rows(i).getLong(0); i += 1 }
     java.util.Arrays.sort(grams)
     val bc = corpus.sparkSession.sparkContext.broadcast(grams)
     val contaminated = F.udf { (text: String) =>
@@ -590,20 +604,21 @@ object Dedup {
     require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
     val text = F.col(textCol)
     val hashUdf = F.udf((s: String) => lineHash(s))
-    val rows = docs
+    // streamed primitive fetch (collectLongColumn): the boxed-Row collect
+    // this replaced held cap+1 Row objects simultaneously — multi-GB of
+    // driver heap at the 50M cap, an OOM risk that defeated the fail-loud
+    // guard below
+    val freq = collectLongColumn(docs
       .select(F.explode(F.array_distinct(nonEmptyLines(text))).as("__line"))
       .select(hashUdf(F.col("__line")).as("__h"))
       .groupBy("__h").agg(F.count(F.lit(1)).as("__df"))
       .filter(F.col("__df") >= minDocFreq)
-      .select("__h").limit(maxFrequentLines + 1).collect()
-    if (rows.length > maxFrequentLines)
+      .select("__h").limit(maxFrequentLines + 1))
+    if (freq.length > maxFrequentLines)
       throw new TooManyFrequentLinesException(
         s"> $maxFrequentLines corpus-frequent lines " +
           s"(~${maxFrequentLines.toLong * 8 / (1 << 20)} MB broadcast cap) — " +
           "too many to broadcast; use dropBoilerplateLinesJoin (shuffle-based, any size)")
-    val freq = new Array[Long](rows.length)
-    var i = 0
-    while (i < rows.length) { freq(i) = rows(i).getLong(0); i += 1 }
     java.util.Arrays.sort(freq)
     val bc = docs.sparkSession.sparkContext.broadcast(freq)
     val cleanUdf = F.udf { (t: String) =>
@@ -718,8 +733,13 @@ object Dedup {
     * `expectedShingles` sizes the filter; pass a corpus-level estimate at
     * scale (0 = count the benchmark side first — one cheap extra job, the
     * bench side is the small one by assumption). The benchmark shingle
-    * frame is persisted (it is read twice: bloom build + confirm join);
-    * eviction costs recompute, never correctness. */
+    * frame is persisted (it is read twice: bloom build + confirm join)
+    * and the operator OWNS the lifecycle (the dropNearDups pattern): the
+    * contaminated-id list — at most the contaminated fraction, 8 bytes
+    * per id — is eagerly materialized via localCheckpoint, after which
+    * the shingle cache and the bloom broadcast are dead weight and are
+    * released in the finally, instead of accumulating executor cache and
+    * broadcast memory across calls in a long-lived session. */
   def decontaminateBloom(corpus: DataFrame, textCol: String, idCol: String,
                          benchmark: DataFrame, benchTextCol: String,
                          w: Int = 8, fpp: Double = 0.01,
@@ -733,18 +753,24 @@ object Dedup {
     val expected = if (expectedShingles > 0L) expectedShingles else bg.count()
     val bloom = bg.stat.bloomFilter("g", math.max(expected, 1L), fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
-    val hitsUdf = F.udf { (text: String) =>
-      // sorted-distinct: each possibly-contaminating shingle joins once
-      sortedDistinct(shingleHashes(text, w).filter(h => bc.value.mightContainLong(h)))
+    try {
+      val hitsUdf = F.udf { (text: String) =>
+        // sorted-distinct: each possibly-contaminating shingle joins once
+        sortedDistinct(shingleHashes(text, w).filter(h => bc.value.mightContainLong(h)))
+      }
+      val cand = corpus
+        .select(F.col(idCol), hitsUdf(F.col(textCol)).as("__hits"))
+        .filter(F.size(F.col("__hits")) > 0)
+      val contaminated = cand
+        .select(F.col(idCol), F.explode(F.col("__hits")).as("g"))
+        .join(bg, Seq("g"), "left_semi")
+        .select(idCol).distinct()
+        .localCheckpoint()
+      corpus.join(contaminated, Seq(idCol), "left_anti")
+    } finally {
+      bg.unpersist(blocking = false)
+      bc.destroy()
     }
-    val cand = corpus
-      .select(F.col(idCol), hitsUdf(F.col(textCol)).as("__hits"))
-      .filter(F.size(F.col("__hits")) > 0)
-    val contaminated = cand
-      .select(F.col(idCol), F.explode(F.col("__hits")).as("g"))
-      .join(bg, Seq("g"), "left_semi")
-      .select(idCol).distinct()
-    corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** CORPUS-WIDE exact line dedup, KEEP-FIRST (the line-granularity form
@@ -755,16 +781,25 @@ object Dedup {
     * corpus-frequency complement to `dropBoilerplateLines` (which removes
     * frequent lines from EVERY doc, including the first).
     *
-    * Shape: posexplode nonempty lines → ONE window over the line value
-    * (row_number keeps the global first occurrence; partitioning by the
-    * exact string keeps the gate byte-exact — a 64-bit line-hash key
-    * would save key-compare bytes at a ~n²/2⁶⁴ false-merge risk, the
-    * documented `dropBoilerplateLines` stance) → docs rebuilt in line
-    * order. Two shuffles of line-sized rows, the corpus never collected;
-    * per-line state is one row_number counter, so a line repeated 10⁹
-    * times costs its partition size, not memory. Output: input columns
-    * with `textCol` rewritten (docs whose every line was seen before
-    * become empty — filter downstream if empties should drop). */
+    * Shape: posexplode nonempty lines → ONE map-side-combinable winner
+    * election per line value — groupBy(line).agg(min(struct(id, pos))),
+    * the `exact`-dedup shape — whose result IS the survivor set (the
+    * winning (id, pos) plus the group key reconstruct the surviving
+    * occurrence, no join-back needed) → docs rebuilt in line order.
+    * Keying by the exact string keeps the gate byte-exact (a 64-bit
+    * line-hash key would save key-compare bytes at a ~n²/2⁶⁴ false-merge
+    * risk, the documented `dropBoilerplateLines` stance). Two shuffles of
+    * line-sized rows, the corpus never collected. A previous shape used
+    * `Window.partitionBy(line)` + row_number: every occurrence of the
+    * hottest boilerplate line ("Subscribe to our newsletter…" × 10⁸ on a
+    * web crawl) then shuffled into ONE task, which sorted them all —
+    * window row_number gets no map-side combine. The aggregate collapses
+    * co-located repeats to one candidate per line per map partition
+    * BEFORE the exchange, so the hot line costs one row per upstream
+    * partition, not its corpus-wide mass (DedupSpec asserts both the
+    * plan shape and the hot-key shuffle-row bound). Output: input
+    * columns with `textCol` rewritten (docs whose every line was seen
+    * before become empty — filter downstream if empties should drop). */
   def dedupLinesKeepFirst(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     dedupUnitsKeepFirst(docs, textCol, idCol, "\n", "\n")
 
@@ -781,10 +816,14 @@ object Dedup {
     val units = F.filter(F.split(text, splitPattern), x => F.length(x) > 0)
     val exploded = docs.select(F.col(idCol),
       F.posexplode(units).as(Seq("__pos", "__line")))
-    val wL = Window.partitionBy("__line").orderBy(F.col(idCol), F.col("__pos"))
+    // min(struct(id, pos)) per line = the lexicographically first
+    // occurrence — identical to row_number over (orderBy id, pos) = 1,
+    // but partially aggregated map-side (see the shape note above)
     val kept = exploded
-      .withColumn("__rn", F.row_number().over(wL))
-      .filter(F.col("__rn") === 1)
+      .groupBy("__line")
+      .agg(F.min(F.struct(F.col(idCol), F.col("__pos"))).as("__w"))
+      .select(F.col("__w").getField(idCol).as(idCol),
+        F.col("__w").getField("__pos").as("__pos"), F.col("__line"))
       .groupBy(idCol)
       .agg(F.array_join(
         F.transform(F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
@@ -832,10 +871,20 @@ object Dedup {
     * one id-keyed window — intervals have fixed width `w`, so the union
     * size is sum(min(w, nextPos - pos)), no fold state. The window's
     * id-partitioning is reused by the final per-doc sum (no extra
-    * exchange). Grams shuffle as STRINGS: the count key must be the
-    * exact gram because the gate is exact-substring semantics (the
-    * `dropBoilerplateLines` stance — a 64-bit gram hash would save key
-    * bytes at an n²/2⁶⁴ false-dup risk and break the bit-exact oracle).
+    * exchange).
+    *
+    * Gram-count tier (the q71 bloom pattern — hash prefilter, EXACT
+    * confirm): the dominant shuffle used to move every gram as its full
+    * ~8-word STRING into the count aggregate. Counting now runs on
+    * xxhash64(gram) — 8 bytes per key, ~6× fewer shuffle bytes — and
+    * only grams whose HASH count clears `minCount` (a superset of the
+    * truly duplicated grams: hash count >= string count, no false
+    * negatives) are re-counted by EXACT string to confirm. A hash
+    * collision can only promote a gram into the (small) confirm set,
+    * where the exact count rejects it — results are identical to the
+    * all-strings count by construction, so the exact-substring stance
+    * (`dropBoilerplateLines`) is preserved without shuffling the gram
+    * text of the (overwhelmingly non-duplicated) corpus.
     *
     * Output: `idCol`, `n_words`, `dup_tokens` (positions covered),
     * `dup_span_frac` = dup_tokens/n_words (0.0 for docs under `w`
@@ -852,7 +901,13 @@ object Dedup {
         F.transform(F.sequence(F.lit(0), F.col("__n") - w),
           i => F.array_join(F.slice(F.col("__ws"), i + 1, F.lit(w)), " ")))
         .as(Seq("__pos", "__g")))
-    val dupGrams = grams.groupBy("__g")
+    val dupHashes = grams.select(F.xxhash64(F.col("__g")).as("__gh"))
+      .groupBy("__gh").agg(F.count(F.lit(1)).as("__hc"))
+      .filter(F.col("__hc") >= minCount)
+      .select("__gh")
+    val dupGrams = grams.select(F.col("__g"), F.xxhash64(F.col("__g")).as("__gh"))
+      .join(dupHashes, Seq("__gh"), "left_semi")
+      .groupBy("__g")
       .agg(F.count(F.lit(1)).as("__c"))
       .filter(F.col("__c") >= minCount)
       .select("__g")
@@ -891,8 +946,11 @@ object Dedup {
     * starts into per-position coverage via max over RANGE [pos-w+1, pos]
     * (closed form — never an explode of the w covered positions per
     * start); the rebuild groupBy reuses the window's id partitioning.
-    * Grams shuffle as exact strings (the `dupSpanStats` stance). Integer
-    * counts and byte-exact rebuilt text — SQL-reproducible (q84). */
+    * Gram counting uses the hash-prefilter + exact-string-confirm tier
+    * (the `dupSpanStats` note): 8-byte xxhash64 keys through the
+    * dominant count shuffle, exact confirm on the (small) hash-dup
+    * superset — results identical by construction. Integer counts and
+    * byte-exact rebuilt text — SQL-reproducible (q84). */
   def dropDupSpans(docs: DataFrame, textCol: String, idCol: String,
                    w: Int = 8, minCount: Long = 2): DataFrame = {
     require(w >= 2, s"gram width w must be >= 2, got $w")
@@ -912,7 +970,14 @@ object Dedup {
       .select(F.col(idCol), F.posexplode(F.col("__zip")).as(Seq("__pos", "__t")))
       .select(F.col(idCol), F.col("__pos"),
         F.col("__t").getField("w").as("__w"), F.col("__t").getField("g").as("__g"))
-    val dupGrams = tok.filter(F.col("__g").isNotNull)
+    val gramsOnly = tok.filter(F.col("__g").isNotNull)
+    val dupHashes = gramsOnly.select(F.xxhash64(F.col("__g")).as("__gh"))
+      .groupBy("__gh").agg(F.count(F.lit(1)).as("__hc"))
+      .filter(F.col("__hc") >= minCount)
+      .select("__gh")
+    val dupGrams = gramsOnly
+      .select(F.col("__g"), F.xxhash64(F.col("__g")).as("__gh"))
+      .join(dupHashes, Seq("__gh"), "left_semi")
       .groupBy("__g").agg(F.count(F.lit(1)).as("__c"))
       .filter(F.col("__c") >= minCount)
       .select(F.col("__g"), F.lit(1).as("__d"))

@@ -36,6 +36,27 @@ object GraftFunctions {
   def nfcNormalize(text: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
 
+  /** Column API for the compiled ASCII-letter presence scan. */
+  def hasAsciiLetter(text: Column): Column =
+    ExpressionUtils.column(HasAsciiLetter(ExpressionUtils.expression(text)))
+
+  /** Column API for the compiled float-array dot product. */
+  def vecDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      VecDotFF(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column API for the compiled float-array L2 norm. */
+  def vecNorm(a: Column): Column =
+    ExpressionUtils.column(VecNormFF(ExpressionUtils.expression(a)))
+
+  /** Column API for the compiled cosine-to-constant-query kernel. */
+  def vecCosineToQ(a: Column, q: Seq[Double], qNorm: Double): Column =
+    ExpressionUtils.column(VecCosineToQ(ExpressionUtils.expression(a), q, qNorm))
+
+  /** Column API for the compiled int8-quantized-cosine kernel. */
+  def vecInt8CosineToQ(a: Column, qCodes: Seq[Double], qNorm: Double): Column =
+    ExpressionUtils.column(VecInt8CosineToQ(ExpressionUtils.expression(a), qCodes, qNorm))
+
   private[plans] def multiContainsBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length >= 2, "multi_contains(text, token, ...)")
     val tokens = exprs.tail.map {

@@ -68,8 +68,14 @@ object GopherRules {
     * character" gate — catches symbol/number dumps.) */
   def alphaWordFrac(text: Column): Column = {
     val ws = words(text)
+    // compiled byte scan per word (graft.plans.HasAsciiLetter) instead of
+    // rlike("[A-Za-z]"): the HOF filter body is interpreted, so the regex
+    // engine was invoked per word of every document; the byte scan is
+    // exactly equivalent (ASCII letter bytes never occur inside UTF-8
+    // multibyte sequences) at a fraction of the per-word cost
     F.when(F.size(ws) === 0, 0.0)
-      .otherwise(F.size(F.filter(ws, w => w.rlike("[A-Za-z]"))).cast("double")
+      .otherwise(F.size(F.filter(ws,
+        w => graft.plans.GraftFunctions.hasAsciiLetter(w))).cast("double")
         / F.size(ws).cast("double"))
   }
 

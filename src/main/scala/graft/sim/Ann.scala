@@ -20,20 +20,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ann {
 
-  /** cosine(embedding, q) as a Column (codegen'd higher-order funcs). */
+  /** cosine(embedding, q) as a Column — one compiled per-row kernel
+    * (`VecKernels.cosineToQ`, bit-identical to the former higher-order-
+    * function chain, whose lambda bodies were interpreted per element).
+    * All math in double (floats promoted first) for cross-engine parity;
+    * zero-norm rows (or a zero query) must rank last at -1.0, not
+    * NaN-first (Spark sorts NaN above every double). */
   def cosineTo(emb: Column, q: Array[Float]): Column = {
-    // all math in double (floats promoted first) for cross-engine parity
-    val qNorm = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
-    val qCol = F.typedlit(q.map(_.toDouble))
-    val embD = F.transform(emb, x => x.cast("double"))
-    val dot = F.aggregate(F.zip_with(embD, qCol, (a, b) => a * b),
-      F.lit(0.0), (acc, x) => acc + x)
-    val norm = F.sqrt(F.aggregate(F.transform(embD, a => a * a),
-      F.lit(0.0), (acc, x) => acc + x))
-    // zero-norm rows (or a zero query) must rank last, not NaN-first
-    // (Spark sorts NaN above every double)
+    val qD = q.map(_.toDouble)
+    val qNorm = math.sqrt(qD.map(x => x * x).sum)
     if (qNorm == 0.0) F.lit(-1.0)
-    else F.when(norm === 0.0, F.lit(-1.0)).otherwise(dot / (norm * F.lit(qNorm)))
+    else graft.plans.GraftFunctions.vecCosineToQ(emb, qD.toSeq, qNorm)
   }
 
   /** Exact top-k by cosine similarity to a single query vector. */
@@ -65,21 +62,16 @@ object Ann {
   }
 
   /** Quantized-cosine column: cosine of the int8 codes of `emb` and the
-    * int8 codes of `q` (zero vectors rank last at -1.0, like cosineTo). */
+    * int8 codes of `q` (zero vectors rank last at -1.0, like cosineTo).
+    * One compiled per-row kernel (`VecKernels.int8CosineToQ`) — the
+    * expression form paid the interpreted-HOF walk AND re-evaluated the
+    * `codes` subtree (with its embedded maxAbs aggregate) separately
+    * inside the dot, the norm, and the guard. */
   def int8CosineTo(emb: Column, q: Array[Float]): Column = {
     val qCodes = int8Codes(q)
     val qNorm = math.sqrt(qCodes.map(x => x * x).sum)
-    val embD = F.transform(emb, x => x.cast("double"))
-    val maxAbs = F.aggregate(embD, F.lit(0.0), (a, x) => F.greatest(a, F.abs(x)))
-    val scale = maxAbs / F.lit(127.0)
-    val codes = F.transform(embD, x => F.floor(x / scale + F.lit(0.5)).cast("double"))
-    val qCol = F.typedlit(qCodes)
-    val dot = F.aggregate(F.zip_with(codes, qCol, (a, b) => a * b),
-      F.lit(0.0), (acc, x) => acc + x)
-    val norm = F.sqrt(F.aggregate(F.transform(codes, a => a * a),
-      F.lit(0.0), (acc, x) => acc + x))
     if (qNorm == 0.0) F.lit(-1.0)
-    else F.when(maxAbs === 0.0, F.lit(-1.0)).otherwise(dot / (norm * F.lit(qNorm)))
+    else graft.plans.GraftFunctions.vecInt8CosineToQ(emb, qCodes.toSeq, qNorm)
   }
 
   /** Top-k by int8-quantized cosine — the memory-lean brute-force tier. */
@@ -282,17 +274,17 @@ object Ann {
     val candidates = ca.join(cb, Seq("sig_idx", "lsh_bucket"))
       .filter(F.col("id_a") < F.col("id_b"))
       .select("id_a", "id_b").distinct()
-    def asD(c: Column) = F.transform(c, x => x.cast("double"))
     // norms are per-ROW quantities: compute them once before the re-attach
-    // instead of twice per candidate pair
-    def norm(c: Column) = F.sqrt(F.aggregate(F.transform(asD(c), x => x * x), F.lit(0.0), (acc, x) => acc + x))
-    val withNorm = base.withColumn("__nrm", norm(F.col(embCol)))
+    // instead of twice per candidate pair; norm and dot are compiled
+    // kernels (VecKernels — bit-identical to the interpreted HOF chains
+    // they replaced, which dominated the verify stage's task time)
+    val withNorm = base.withColumn("__nrm",
+      graft.plans.GraftFunctions.vecNorm(F.col(embCol)))
     val ta = withNorm.select(F.col(idCol).as("id_a"),
       F.col(embCol).as("emb_a"), F.col("__nrm").as("nrm_a"))
     val tb = withNorm.select(F.col(idCol).as("id_b"),
       F.col(embCol).as("emb_b"), F.col("__nrm").as("nrm_b"))
-    val dot = F.aggregate(F.zip_with(asD(F.col("emb_a")), asD(F.col("emb_b")), (x, y) => x * y),
-      F.lit(0.0), (acc, x) => acc + x)
+    val dot = graft.plans.GraftFunctions.vecDot(F.col("emb_a"), F.col("emb_b"))
     candidates
       .join(ta, "id_a").join(tb, "id_b")
       .select(F.col("id_a"), F.col("id_b"),
@@ -330,27 +322,39 @@ object Ann {
   def semDedup(df: DataFrame, embCol: String, idCol: String,
                index: IvfIndex, threshold: Double,
                maxCluster: Int = 100000): DataFrame = {
-    val assigned = ivfAssign(df.select(F.col(idCol), F.col(embCol)), embCol, index)
+    val base = df.select(F.col(idCol), F.col(embCol))
+    // the cluster-keyed exchange (cap window + self-join) carries ONLY
+    // (ivf_cluster, id) rows — never the embedding vectors. The former
+    // shape shipped both vectors through the pair join (each row's
+    // vector duplicated once per candidate pair, Σ|c|² × 2 × vector
+    // bytes through the exchange); vectors+norms are now re-attached to
+    // the (small) candidate set by two id-joins — the cosineDupPairs
+    // shape. AnnSpec asserts no cluster-keyed exchange ships a vector.
+    val assigned = ivfAssign(base, embCol, index)
+      .select(F.col("ivf_cluster"), F.col(idCol))
     val wC = Window.partitionBy("ivf_cluster").orderBy(F.col(idCol))
     val capped = assigned.withColumn("__cn", F.row_number().over(wC))
       .observe("semdedup_caps",
         F.sum((F.col("__cn") > maxCluster).cast("long")).as("capped_rows"))
       .filter(F.col("__cn") <= maxCluster).drop("__cn")
-    def asD(c: Column) = F.transform(c, x => x.cast("double"))
-    def norm(c: Column) =
-      F.sqrt(F.aggregate(F.transform(asD(c), x => x * x), F.lit(0.0), (acc, x) => acc + x))
-    val withNorm = capped.withColumn("__nrm", norm(F.col(embCol)))
-    val a = withNorm.select(F.col("ivf_cluster"), F.col(idCol).as("id_a"),
+    val a = capped.select(F.col("ivf_cluster"), F.col(idCol).as("id_a"))
+    val b = capped.select(F.col("ivf_cluster"), F.col(idCol).as("id_b"))
+    val candidates = a.join(b, Seq("ivf_cluster"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .select("id_a", "id_b")
+    // verify with the compiled dot/norm kernels (bit-identical to the
+    // interpreted HOF chains — the cosineDupPairs contract)
+    val withNorm = base.withColumn("__nrm",
+      graft.plans.GraftFunctions.vecNorm(F.col(embCol)))
+    val ta = withNorm.select(F.col(idCol).as("id_a"),
       F.col(embCol).as("emb_a"), F.col("__nrm").as("nrm_a"))
-    val b = withNorm.select(F.col("ivf_cluster"), F.col(idCol).as("id_b"),
+    val tb = withNorm.select(F.col(idCol).as("id_b"),
       F.col(embCol).as("emb_b"), F.col("__nrm").as("nrm_b"))
-    val dot = F.aggregate(
-      F.zip_with(asD(F.col("emb_a")), asD(F.col("emb_b")), (x, y) => x * y),
-      F.lit(0.0), (acc, x) => acc + x)
+    val dot = graft.plans.GraftFunctions.vecDot(F.col("emb_a"), F.col("emb_b"))
     val cosine = F.when(F.col("nrm_a") === 0.0 || F.col("nrm_b") === 0.0, F.lit(-1.0))
       .otherwise(dot / (F.col("nrm_a") * F.col("nrm_b")))
-    val dropped = a.join(b, Seq("ivf_cluster"))
-      .filter(F.col("id_a") < F.col("id_b"))
+    val dropped = candidates
+      .join(ta, "id_a").join(tb, "id_b")
       .filter(cosine >= threshold)
       .select(F.col("id_b").as(idCol)).distinct()
     df.join(dropped, Seq(idCol), "left_anti")

@@ -511,6 +511,120 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == "intact\ninternal newline")
   }
 
+  test("keep-first dedup plan: map-side partial aggregate winner election, no Window") {
+    import spark.implicits._
+    val docs = Seq((1L, "a\nb"), (2L, "b\nc")).toDF("id", "text")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = Dedup.dedupLinesKeepFirst(docs, "text", "id")
+        .queryExecution.executedPlan
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty,
+        "keep-first dedup must not route every occurrence of a line " +
+          "through one Window task")
+      // the line-keyed exchange must have a PARTIAL aggregate below it:
+      // co-located repeats of a hot boilerplate line collapse to one
+      // candidate per map partition before any bytes hit the wire
+      val lineExchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.output.exists(_.name == "__line") => e
+      }
+      assert(lineExchanges.nonEmpty, s"expected a line-keyed exchange:\n${plan.treeString}")
+      lineExchanges.foreach { e =>
+        val partialBelow = e.child.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }
+        assert(partialBelow.nonEmpty,
+          s"expected partial aggregate below the line exchange:\n${plan.treeString}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("keep-first dedup hot key: 100k copies of one line never concentrate in one task") {
+    import spark.implicits._
+    // the pathological input this operator exists for: one boilerplate
+    // line repeated across 100k docs. With the old Window shape every
+    // copy shuffled into ONE task (100k shuffle-read records on a single
+    // reducer); the partial-aggregate shape collapses each map
+    // partition's copies to one candidate row, so no task reads more
+    // than a handful of shuffle records.
+    // 100 docs × 1000 copies of the line = 100k exploded occurrences,
+    // while the doc frame itself stays tiny (so the final rebuild join
+    // cannot legitimately move many rows — any task reading thousands of
+    // shuffle records can only be the hot line concentrating)
+    val n = 100000
+    val docs = spark.range(100).select(F.col("id"),
+      F.array_join(F.array_repeat(
+        F.lit("Subscribe to our newsletter for more updates"), 1000), "\n").as("text"))
+    val maxTaskRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        Option(t.taskMetrics).foreach { m =>
+          maxTaskRecords.getAndUpdate(v => math.max(v, m.shuffleReadMetrics.recordsRead))
+        }
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val out =
+      try {
+        val r = Dedup.dedupLinesKeepFirst(docs, "text", "id")
+          .filter(F.length(F.col("text")) > 0).collect()
+        Thread.sleep(500)
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(out.length == 1 && out.head.getLong(0) == 0L,
+      "only doc 0 keeps the globally-first occurrence (all later copies drop)")
+    assert(out.head.getString(1) == "Subscribe to our newsletter for more updates")
+    val got = maxTaskRecords.get()
+    assert(got < 1000L,
+      s"hot line concentrated: one task shuffle-read $got records (partial " +
+        s"aggregation should bound this near the map-partition count, not $n)")
+  }
+
+  test("dup-span gram counting: hash prefilter + exact confirm matches an all-strings count") {
+    import spark.implicits._
+    // randomized corpus with planted cross-doc and within-doc dup grams;
+    // the reference below is the former shape — count EVERY gram by its
+    // full string — and the shipped hash-prefiltered tier must match it
+    // row-for-row (no false negatives by construction; collisions only
+    // promote grams into the exact confirm, which rejects them)
+    val r = new java.util.Random(7L)
+    val vocab = (0 until 200).map(i => s"t$i")
+    val phrase = (0 until 8).map(i => s"dup$i").mkString(" ")
+    val docs = (0L until 60L).map { i =>
+      val body = (0 until 30).map(_ => vocab(r.nextInt(vocab.length))).mkString(" ")
+      (i, if (i % 5 == 2) s"$body $phrase" else body)
+    }.toDF("id", "text")
+    val got = Dedup.dupSpanStats(docs, "text", "id", w = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    // reference: the pre-hash-tier all-strings count feeding the same
+    // closed-form coverage
+    val ws = F.filter(F.split(F.lower(F.col("text")), "\\s+"), x => x =!= "")
+    val base = docs.select(F.col("id"), ws.as("__ws"))
+      .select(F.col("id"), F.col("__ws"), F.size(F.col("__ws")).as("__n"))
+    val grams = base.filter(F.col("__n") >= 8)
+      .select(F.col("id"), F.posexplode(
+        F.transform(F.sequence(F.lit(0), F.col("__n") - 8),
+          i => F.array_join(F.slice(F.col("__ws"), i + 1, F.lit(8)), " ")))
+        .as(Seq("__pos", "__g")))
+    val dupGrams = grams.groupBy("__g").agg(F.count(F.lit(1)).as("__c"))
+      .filter(F.col("__c") >= 2).select("__g")
+    val wNext = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("__pos")
+    val covered = grams.join(dupGrams, Seq("__g"), "left_semi")
+      .withColumn("__cov", F.least(F.lit(8L),
+        F.coalesce(F.lead("__pos", 1).over(wNext) - F.col("__pos"), F.lit(8))
+          .cast("long")))
+      .groupBy("id").agg(F.sum("__cov").as("__dup"))
+    val want = base.join(covered, Seq("id"), "left")
+      .select(F.col("id"), F.col("__n").cast("long"),
+        F.coalesce(F.col("__dup"), F.lit(0L)))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(got == want, s"engine-only=${got -- want}, reference-only=${want -- got}")
+  }
+
   test("dropByPairsKeepBest: max score survives per cluster, ties to min id, non-dups kept") {
     import spark.implicits._
     val docs = Seq(

@@ -54,6 +54,28 @@ class GopherRulesSpec extends AnyFunSuite {
     assert(t("stop") == 3L)
   }
 
+  test("alphaWordFrac's compiled byte scan agrees with rlike('[A-Za-z]') on tricky words") {
+    import spark.implicits._
+    // multibyte UTF-8 (no ASCII letters), accented letters only, mixed,
+    // digits/symbols, letters at each end — the byte scan must agree
+    // with the regex word-for-word
+    val docs = Seq(
+      "héllo über 北京 naïve 123 a1 1a ... #tag ___ x 中a文",
+      "ÉÀÇ ß ø π",
+      "plain words only",
+      "")
+    val c = F.col("t")
+    val ws = GopherRules.words(c)
+    val got = docs.toDF("t").select(
+      GopherRules.alphaWordFrac(c).as("got"),
+      F.when(F.size(ws) === 0, 0.0)
+        .otherwise(F.size(F.filter(ws, w => w.rlike("[A-Za-z]"))).cast("double")
+          / F.size(ws).cast("double")).as("want"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"byte scan ${r.getDouble(0)} != regex ${r.getDouble(1)}"))
+  }
+
   test("empty and wordless docs: every ratio is 0.0, never NaN") {
     for (doc <- Seq("", "   \n  \n")) {
       val s = signals(doc)

@@ -200,6 +200,28 @@ class AnnSpec extends AnyFunSuite {
     })
   }
 
+  test("semDedup: cluster-keyed exchanges carry ids only — never the embeddings") {
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "embedding")
+    val index = Ann.ivfFit(df, "embedding", k = 4, seed = 7L)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val out = Ann.semDedup(df, "embedding", "vec_id", index, threshold = 0.97)
+      val exchanges = out.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      val clusterKeyed = exchanges.filter(_.output.exists(_.name == "ivf_cluster"))
+      assert(clusterKeyed.nonEmpty, "expected cluster-keyed exchanges in the plan")
+      clusterKeyed.foreach { e =>
+        val arrayCols = e.output.filter(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]).map(_.name)
+        assert(arrayCols.isEmpty,
+          s"cluster exchange must not shuffle embedding arrays, found: $arrayCols")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("semDedup: matches a brute-force keep-lowest-id oracle and keeps cross-cluster near-pairs") {
     import spark.implicits._
     val df = rows.toDF("vec_id", "embedding")

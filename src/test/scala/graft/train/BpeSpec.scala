@@ -34,6 +34,91 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.train(Array(("abc", 1L)), numMerges = 10).isEmpty)
   }
 
+  /** The pre-incremental trainer, verbatim: full pair recount over the
+    * whole vocabulary per merge. Kept here as the semantics reference —
+    * the shipped incremental trainer must reproduce its merge table
+    * byte-for-byte (same counts, same (count desc, (a,b) asc) winner
+    * order, same early stop). */
+  private def trainReference(freqs: Array[(String, Long)],
+                             numMerges: Int): Seq[(String, String)] = {
+    val words = freqs.map { case (w, f) =>
+      (scala.collection.mutable.ArrayBuffer.from(w.map(_.toString)) += Bpe.Eow, f)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var iter = 0
+    var done = false
+    while (iter < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        if (best._2 < 2L) done = true
+        else {
+          val (a, b) = best._1
+          val ab = a + b
+          words.foreach { case (syms, _) =>
+            var i = 0
+            while (i < syms.length - 1) {
+              if (syms(i) == a && syms(i + 1) == b) {
+                syms.update(i, ab)
+                syms.remove(i + 1)
+              } else i += 1
+            }
+          }
+          merges += ((a, b))
+        }
+      }
+      iter += 1
+    }
+    merges.toSeq
+  }
+
+  test("incremental trainer reproduces the full-recount reference byte-for-byte") {
+    // randomized vocabularies over a small alphabet force heavy pair
+    // sharing, overlapping same-symbol runs ("aaa"), ties, and
+    // decreasing-count pairs — the cases where a stale-heap/occurrence-
+    // index bug would diverge from the recount
+    (0 until 5).foreach { trial =>
+      val r = new java.util.Random(1000L + trial)
+      val freqs = Array.tabulate(120) { i =>
+        val len = 1 + r.nextInt(8)
+        val w = (0 until len).map(_ => ('a' + r.nextInt(4)).toChar).mkString
+        (w + i.toString.takeRight(1), 1L + r.nextInt(40))
+      }.distinct
+      val want = trainReference(freqs, numMerges = 150)
+      val got = Bpe.train(freqs, numMerges = 150)
+      assert(got == want, s"trial $trial diverged at " +
+        s"index ${got.zip(want).indexWhere { case (x, y) => x != y }}")
+    }
+  }
+
+  test("incremental trainer handles a realistic merge count on a corpus-shaped table") {
+    // 20k synthetic word forms, 2000 merges: the regime where the
+    // recount trainer is O(maxWords × avgLen) PER MERGE and stops being
+    // usable; the incremental trainer finishes in seconds. Correctness
+    // is cross-checked on a 300-merge prefix against the reference
+    // (prefix property: merge k depends only on merges < k).
+    val r = new java.util.Random(7L)
+    val freqs = Array.tabulate(20000) { i =>
+      val len = 2 + r.nextInt(10)
+      val w = (0 until len).map(_ => ('a' + r.nextInt(12)).toChar).mkString
+      (w + (i % 7), 1L + r.nextInt(1000))
+    }.distinct
+    val merges = Bpe.train(freqs, numMerges = 2000)
+    assert(merges.length == 2000, s"expected 2000 merges, got ${merges.length}")
+    val prefix = trainReference(freqs, numMerges = 300)
+    assert(merges.take(300) == prefix,
+      "first 300 merges must equal the full-recount reference")
+  }
+
   test("save/load roundtrip preserves merge order exactly") {
     val merges = Seq(("a", "a"), ("b", Bpe.Eow), ("a", "b" + Bpe.Eow))
     val path = java.nio.file.Files.createTempFile("bpe", ".tsv").toString
