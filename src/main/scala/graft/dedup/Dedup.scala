@@ -283,12 +283,19 @@ object Dedup {
         ).as(Seq("band", "bucket")))
     // cap pathological buckets — NOT silently: the dropped-row count is
     // published through an observe metric ("minhash_caps"/"capped_rows")
-    // so a capped run is visible in job metrics
-    val wB = Window.partitionBy("band", "bucket").orderBy(F.col(idCol))
-    val capped = banded.withColumn("__bn", F.row_number().over(wB))
+    // so a capped run is visible in job metrics. The cap is a BOUNDED
+    // smallest-K aggregate (map-side combinable k-heap buffers), not a
+    // Window row_number: the window shape exchanged and SORTED every
+    // banded row with a degenerate corpus's hot bucket concentrating in
+    // one task; the aggregate ships at most maxBucket ids per bucket per
+    // map partition and sorts nothing. Survivor set identical (the
+    // maxBucket smallest ids per (band, bucket)).
+    val capped = banded.groupBy("band", "bucket")
+      .agg(graft.plans.GraftFunctions.smallestKLongs(F.col(idCol), maxBucket).as("__ids"),
+        F.count(F.lit(1)).as("__bn"))
       .observe("minhash_caps",
-        F.sum((F.col("__bn") > maxBucket).cast("long")).as("capped_rows"))
-      .filter(F.col("__bn") <= maxBucket).drop("__bn")
+        F.sum(F.greatest(F.col("__bn") - maxBucket, F.lit(0L))).as("capped_rows"))
+      .select(F.col("band"), F.col("bucket"), F.explode(F.col("__ids")).as(idCol))
     val a = capped.select(F.col("band"), F.col("bucket"), F.col(idCol).as("id_a"))
     val b = capped.select(F.col("band"), F.col("bucket"), F.col(idCol).as("id_b"))
     // dedupe candidates on ids BEFORE the exact-Jaccard kernel: a true
@@ -689,11 +696,19 @@ object Dedup {
       F.posexplode(F.array((0 until 4).map(i =>
         F.shiftrightunsigned(F.col(hashCol), i * 16).bitwiseAND(F.lit(0xffffL))): _*))
         .as(Seq("band", "bucket")))
-    val wB = Window.partitionBy("band", "bucket").orderBy(F.col(idCol))
-    val capped = banded.withColumn("__bn", F.row_number().over(wB))
+    // bounded smallest-K cap with the 64-bit hash riding each kept id —
+    // the minhashPairsFromShingles aggregate shape (no window sort, hot
+    // buckets bounded map-side); survivor set identical to row_number<=K
+    val capped = banded.groupBy("band", "bucket")
+      .agg(graft.plans.GraftFunctions.smallestKLongPairs(
+          F.col(idCol), F.col(hashCol), maxBucket).as("__kept"),
+        F.count(F.lit(1)).as("__bn"))
       .observe(capMetric,
-        F.sum((F.col("__bn") > maxBucket).cast("long")).as("capped_rows"))
-      .filter(F.col("__bn") <= maxBucket).drop("__bn")
+        F.sum(F.greatest(F.col("__bn") - maxBucket, F.lit(0L))).as("capped_rows"))
+      .select(F.col("band"), F.col("bucket"), F.explode(F.col("__kept")).as("__e"))
+      .select(F.col("band"), F.col("bucket"),
+        F.col("__e").getField("id").as(idCol),
+        F.col("__e").getField("payload").as(hashCol))
     val a = capped.select(F.col("band"), F.col("bucket"),
       F.col(idCol).as("id_a"), F.col(hashCol).as("__h_a"))
     val b = capped.select(F.col("band"), F.col("bucket"),
@@ -1067,11 +1082,12 @@ object Dedup {
             F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), bi =>
               F.xxhash64(F.slice(F.col("__mh"), bi * rowsPerBand + 1, F.lit(rowsPerBand))))
           ).as(Seq("band", "bucket")))
-      val wB = Window.partitionBy("band", "bucket").orderBy(F.col(id))
-      b.withColumn("__bn", F.row_number().over(wB))
-        .observe(metric, F.sum((F.col("__bn") > maxBucket).cast("long")).as("capped_rows"))
-        .filter(F.col("__bn") <= maxBucket)
-        .select(id, "band", "bucket")
+      // bounded smallest-K cap (the minhashPairsFromShingles shape)
+      b.groupBy("band", "bucket")
+        .agg(graft.plans.GraftFunctions.smallestKLongs(F.col(id), maxBucket).as("__ids"),
+          F.count(F.lit(1)).as("__bn"))
+        .observe(metric, F.sum(F.greatest(F.col("__bn") - maxBucket, F.lit(0L))).as("capped_rows"))
+        .select(F.explode(F.col("__ids")).as(id), F.col("band"), F.col("bucket"))
     }
     // own the shingle caches' lifecycle (the dropNearDups pattern): the
     // dropped-id list is eagerly materialized (localCheckpoint — it is

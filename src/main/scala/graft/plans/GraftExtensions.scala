@@ -57,6 +57,19 @@ object GraftFunctions {
   def vecInt8CosineToQ(a: Column, qCodes: Seq[Double], qNorm: Double): Column =
     ExpressionUtils.column(VecInt8CosineToQ(ExpressionUtils.expression(a), qCodes, qNorm))
 
+  /** Aggregate Column: the k smallest long values, sorted ascending —
+    * the bounded hot-bucket cap primitive. */
+  def smallestKLongs(id: Column, k: Int): Column =
+    ExpressionUtils.column(
+      SmallestKLongs(ExpressionUtils.expression(id), k).toAggregateExpression())
+
+  /** Aggregate Column: the k entries with the smallest long key, each
+    * carrying a long payload; sorted ascending by key. */
+  def smallestKLongPairs(key: Column, payload: Column, k: Int): Column =
+    ExpressionUtils.column(
+      SmallestKLongPairs(ExpressionUtils.expression(key),
+        ExpressionUtils.expression(payload), k).toAggregateExpression())
+
   private[plans] def multiContainsBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length >= 2, "multi_contains(text, token, ...)")
     val tokens = exprs.tail.map {

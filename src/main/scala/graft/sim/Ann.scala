@@ -261,11 +261,15 @@ object Ann {
     val sigsUdf = F.udf((v: Array[Float]) => planesAll.map(p => signature(v, p)))
     val banded = base.select(F.col(idCol),
       F.posexplode(sigsUdf(F.col(embCol))).as(Seq("sig_idx", "lsh_bucket")))
-    val wB = Window.partitionBy("sig_idx", "lsh_bucket").orderBy(F.col(idCol))
-    val capped = banded.withColumn("__bn", F.row_number().over(wB))
+    // bounded smallest-K cap (the Dedup.minhashPairsFromShingles shape):
+    // map-side-combinable k-heap buffers instead of a window sort of
+    // every banded row; survivor set identical (k smallest ids/bucket)
+    val capped = banded.groupBy("sig_idx", "lsh_bucket")
+      .agg(graft.plans.GraftFunctions.smallestKLongs(F.col(idCol), maxBucket).as("__ids"),
+        F.count(F.lit(1)).as("__bn"))
       .observe("cosine_dup_caps",
-        F.sum((F.col("__bn") > maxBucket).cast("long")).as("capped_rows"))
-      .filter(F.col("__bn") <= maxBucket).drop("__bn")
+        F.sum(F.greatest(F.col("__bn") - maxBucket, F.lit(0L))).as("capped_rows"))
+      .select(F.col("sig_idx"), F.col("lsh_bucket"), F.explode(F.col("__ids")).as(idCol))
     val ca = capped.select(F.col("sig_idx"), F.col("lsh_bucket"), F.col(idCol).as("id_a"))
     val cb = capped.select(F.col("sig_idx"), F.col("lsh_bucket"), F.col(idCol).as("id_b"))
     // dedupe candidates on ids across signatures/buckets BEFORE the verify:
@@ -332,11 +336,13 @@ object Ann {
     // shape. AnnSpec asserts no cluster-keyed exchange ships a vector.
     val assigned = ivfAssign(base, embCol, index)
       .select(F.col("ivf_cluster"), F.col(idCol))
-    val wC = Window.partitionBy("ivf_cluster").orderBy(F.col(idCol))
-    val capped = assigned.withColumn("__cn", F.row_number().over(wC))
+    // bounded smallest-K cap (the minhashPairsFromShingles shape)
+    val capped = assigned.groupBy("ivf_cluster")
+      .agg(graft.plans.GraftFunctions.smallestKLongs(F.col(idCol), maxCluster).as("__ids"),
+        F.count(F.lit(1)).as("__cn"))
       .observe("semdedup_caps",
-        F.sum((F.col("__cn") > maxCluster).cast("long")).as("capped_rows"))
-      .filter(F.col("__cn") <= maxCluster).drop("__cn")
+        F.sum(F.greatest(F.col("__cn") - maxCluster, F.lit(0L))).as("capped_rows"))
+      .select(F.col("ivf_cluster"), F.explode(F.col("__ids")).as(idCol))
     val a = capped.select(F.col("ivf_cluster"), F.col(idCol).as("id_a"))
     val b = capped.select(F.col("ivf_cluster"), F.col(idCol).as("id_b"))
     val candidates = a.join(b, Seq("ivf_cluster"))
